@@ -1,0 +1,84 @@
+"""Headline benchmark: CIFAR-10 SNGAN fused train cycles/sec on one chip.
+
+One cycle = 1 generator step (+ confusion step) + N_CRITIC=5 discriminator
+steps at the reference's full size (batch 64, DIM_G=DIM_D=128, z=128,
+HINGE loss, projection discriminator, spectral norm) — the unit of the
+reference hot loop (``cifar10/gan_resnet.py:919-947``).
+
+``vs_baseline``: the reference publishes no steps/sec (BASELINE.md), so the
+denominator is a documented estimate of its single-GPU rate: the TF1.5
+feed_dict loop ran 6 session calls per cycle with host→device copies of the
+batch + 5 label tensors each; ~1.0 cycles/sec is a generous estimate for the
+2018-class single GPU the paper used.  BASELINE.md's target is >=5x, so
+``vs_baseline >= 5`` means target met.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import time
+
+import numpy as np
+
+REFERENCE_CYCLES_PER_SEC = 1.0  # documented estimate; see module docstring
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from rcgan_tpu.algorithms.cifar import CifarAlgoConfig
+    from rcgan_tpu.data.confusion import one_coin_matrix
+    from rcgan_tpu.models.resnet_gan import ResnetGANConfig
+    from rcgan_tpu.train.cifar_loop import CifarTrainer, CifarTrainConfig
+
+    batch = 64
+    cfg = ResnetGANConfig()
+    acfg = CifarAlgoConfig(algorithm="rcgan", loss_type="HINGE")
+    tcfg = CifarTrainConfig(n_critic=5, gen_bs_multiple=2)
+    trainer = CifarTrainer(
+        cfg, acfg, tcfg, one_coin_matrix(0.6, 10), mesh=None, compute_dtype=jnp.bfloat16
+    )
+    ts = trainer.init(jax.random.key(0), batch)
+
+    rs = np.random.RandomState(0)
+    d_batches = {
+        "images": jnp.asarray(rs.randint(0, 256, (tcfg.n_critic, batch, 3072)), jnp.int32),
+        "labels": jnp.asarray(rs.randint(0, 10, (tcfg.n_critic, batch)), jnp.int32),
+        "labels_random": jnp.asarray(rs.randint(0, 10, (tcfg.n_critic, batch)), jnp.int32),
+        "labels_biased": jnp.asarray(rs.randint(0, 10, (tcfg.n_critic, batch)), jnp.int32),
+        "labels_inv_weights": jnp.asarray(rs.rand(tcfg.n_critic, batch, 10), jnp.float32),
+    }
+    g_labels = {
+        "random": jnp.asarray(rs.randint(0, 10, (tcfg.gen_bs_multiple * batch,)), jnp.int32),
+        "biased": jnp.asarray(rs.randint(0, 10, (tcfg.gen_bs_multiple * batch,)), jnp.int32),
+    }
+
+    rng = jax.random.key(1)
+    # warmup / compile
+    ts, m = trainer.step(ts, d_batches, g_labels, 1, rng)
+    jax.block_until_ready(m["d_cost"])
+
+    n_iters = 30
+    t0 = time.perf_counter()
+    for i in range(n_iters):
+        rng, sub = jax.random.split(rng)
+        ts, m = trainer.step(ts, d_batches, g_labels, i + 2, sub)
+    jax.block_until_ready(m["d_cost"])
+    dt = time.perf_counter() - t0
+
+    cycles_per_sec = n_iters / dt
+    print(
+        json.dumps(
+            {
+                "metric": "cifar10_sngan_train_cycles_per_sec_per_chip",
+                "value": round(cycles_per_sec, 4),
+                "unit": "cycles/s (1 G + 5 D steps, batch 64, dim 128)",
+                "vs_baseline": round(cycles_per_sec / REFERENCE_CYCLES_PER_SEC, 4),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

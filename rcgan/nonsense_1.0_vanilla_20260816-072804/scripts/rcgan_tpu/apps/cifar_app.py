@@ -1,0 +1,263 @@
+"""CIFAR-10 experiment orchestration (reference: ``cifar10/gan_resnet.py``
+``main(_)``, lines 493-1035): run dirs, data, fused train cycles, periodic
+inception / dev-cost / sample / gen-label-acc evals, checkpointing, and the
+final (optionally permutation-corrected) label accuracy.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from rcgan_tpu import config as flagslib
+from rcgan_tpu.algorithms.cifar import CifarAlgoConfig
+from rcgan_tpu.data import cifar10 as cifar_data
+from rcgan_tpu.data.confusion import one_coin_matrix
+from rcgan_tpu.evals.classifier import cifar_classifier, generated_label_accuracy
+from rcgan_tpu.evals.inception import inception_score
+from rcgan_tpu.models.resnet_gan import ResnetGANConfig
+from rcgan_tpu.parallel.mesh import make_mesh
+from rcgan_tpu.train.checkpoint import Checkpointer
+from rcgan_tpu.train.cifar_loop import CifarTrainer, CifarTrainConfig
+from rcgan_tpu.utils import run_dir as run_dir_lib
+from rcgan_tpu.utils.images import save_cifar_samples, to_uint8_samples
+from rcgan_tpu.utils.metrics import MetricLogger
+
+log = logging.getLogger(__name__)
+
+
+def build_configs(flags, n_devices: int):
+    batch_size = flags.batch_size
+    iters = flags.niters
+    if flags.multi_gpu_multi_batch:  # gan_resnet.py:190-192
+        batch_size *= n_devices
+        iters //= n_devices
+    cfg = ResnetGANConfig(
+        z_dim=flags.z_dim,
+        dim_g=flags.dim_g,
+        dim_d=flags.dim_d,
+        embedding_dim=flags.embedding_dim,
+        algorithm=flags.algorithm,
+        perm_type=flags.perm_type,
+    )
+    acfg = CifarAlgoConfig(
+        algorithm=flags.algorithm,
+        loss_type=flags.loss_type,
+        soft_plus=flags.soft_plus,
+        perm_classifier=flags.perm_classifier,
+        perm_multiplier=flags.perm_multiplier,
+        confuse_init=flags.confuse_init,
+        confuse_init_diag=flags.confuse_init_diag,
+    )
+    tcfg = CifarTrainConfig(
+        lr=flags.lr,
+        n_critic=flags.n_critic,
+        gen_bs_multiple=flags.gen_bs_multiple,
+        decay=flags.decay,
+        confuse_multiplier=flags.confuse_multiplier,
+        confuse_lr_decay=flags.confuse_lr_decay,
+    )
+    return cfg, acfg, tcfg, batch_size, iters
+
+
+def get_eval_classifier(train_split, cache_dir: str):
+    """Stand-in for the frozen ResNet-110 scorer, trained on clean labels."""
+    cls = cifar_classifier()
+    path = os.path.join(cache_dir, "cifar_eval_classifier.pkl")
+    if not cls.load(path):
+        log.info("training CIFAR eval classifier (one-time)...")
+        imgs = train_split.images.astype(np.float32)
+        imgs = 2.0 * (imgs / 255.0 - 0.5)
+        imgs = imgs.reshape(-1, 3, 32, 32).transpose(0, 2, 3, 1)
+        cls.train(jax.random.key(321), imgs[:20000], train_split.labels_actual[:20000], epochs=1)
+        os.makedirs(cache_dir, exist_ok=True)
+        cls.save(path)
+    return cls
+
+
+def stack_batches(split: cifar_data.CifarSplit, it, n_critic: int):
+    """Pull n_critic epoch batches and stack to leading [n_critic, B]."""
+    outs = []
+    for _ in range(n_critic):
+        try:
+            outs.append(next(it))
+        except StopIteration:
+            return None
+    imgs, labels, rand, biased, inv_w = (np.stack(x) for x in zip(*outs))
+    return {
+        "images": jnp.asarray(imgs.astype(np.int32)),
+        "labels": jnp.asarray(labels.astype(np.int32)),
+        "labels_random": jnp.asarray(rand.astype(np.int32)),
+        "labels_biased": jnp.asarray(biased.astype(np.int32)),
+        "labels_inv_weights": jnp.asarray(inv_w.astype(np.float32)),
+    }
+
+
+def infinite_batches(split, batch_size, n_critic):
+    it = split.epoch(batch_size)
+    while True:
+        b = stack_batches(split, it, n_critic)
+        if b is None:
+            it = split.epoch(batch_size)
+            continue
+        yield b
+
+
+def infinite_g_labels(split, batch_size, gen_bs_multiple):
+    """labels_random/biased for the generator batch (gen_bs_multiple x B),
+    mirroring ``inf_train_gen_G`` (``gan_resnet.py:869-882``)."""
+    it = split.epoch(batch_size)
+    while True:
+        rs, bs_ = [], []
+        for _ in range(gen_bs_multiple):
+            try:
+                _, _, r, b, _ = next(it)
+            except StopIteration:
+                it = split.epoch(batch_size)
+                _, _, r, b, _ = next(it)
+            rs.append(r)
+            bs_.append(b)
+        yield {
+            "random": jnp.asarray(np.concatenate(rs).astype(np.int32)),
+            "biased": jnp.asarray(np.concatenate(bs_).astype(np.int32)),
+        }
+
+
+def main(argv=None):
+    flags = flagslib.parse(flagslib.cifar_flags(), argv)
+    logging.basicConfig(
+        filename=flags.log_file, level=logging.DEBUG if flags.log_level == "debug" else logging.INFO,
+        format="%(asctime)s %(levelname)-8s %(message)s",
+    )
+
+    n_devices = flags.mesh_devices or len(jax.devices())
+    mesh = make_mesh(n_devices) if n_devices > 1 else None
+    cfg, acfg, tcfg, batch_size, iters = build_configs(flags, n_devices)
+
+    c_alpha = one_coin_matrix(flags.alpha, 10)
+    if flags.expt_dir is not None:
+        run_path = os.path.join(flags.parent_dir, flags.expt_dir)
+    else:
+        run_path = run_dir_lib.cifar_run_dir(flags.parent_dir, flags.algorithm, flags.alpha, flags.run)
+    os.makedirs(run_path, exist_ok=True)
+    run_dir_lib.record_setting(run_path, vars(flags))
+    ckpt_dir = os.path.join(run_path, "checkpoint")
+    log.info("alpha = %s; run dir %s; devices %d; batch %d; iters %d",
+             flags.alpha, run_path, n_devices, batch_size, iters)
+
+    train_split, dev_split = cifar_data.load(
+        flags.data_dir, flags.alpha, allow_synthetic=flags.allow_synthetic
+    )
+
+    dtype = jnp.bfloat16 if flags.compute_dtype == "bfloat16" else jnp.float32
+    trainer = CifarTrainer(cfg, acfg, tcfg, c_alpha, mesh=mesh, compute_dtype=dtype)
+    ts = trainer.init(jax.random.key(0), batch_size)
+
+    ckpt = Checkpointer(ckpt_dir)
+    if flags.restore:
+        restored = ckpt.restore(ts)
+        if restored is not None:
+            log.info("restored from step %s", int(restored.step))
+            ts = restored
+
+    metrics = MetricLogger()
+    eval_cls = get_eval_classifier(train_split, flags.parent_dir)
+
+    d_iter = infinite_batches(train_split, batch_size, tcfg.n_critic)
+    g_iter = infinite_g_labels(train_split, batch_size, tcfg.gen_bs_multiple)
+
+    fixed_noise = jnp.asarray(np.random.RandomState(0).normal(size=(100, cfg.z_dim)).astype(np.float32))
+    fixed_labels = jnp.asarray(np.repeat(np.arange(10), 10).astype(np.int32))
+
+    def make_samples(n, deterministic=True, seed=0):
+        outs, labels = [], []
+        for i in range(n // 100):
+            z = jax.random.normal(jax.random.fold_in(jax.random.key(seed), i), (100, cfg.z_dim))
+            if deterministic:
+                lab = fixed_labels
+            else:
+                lab = jax.random.randint(jax.random.fold_in(jax.random.key(seed + 1), i), (100,), 0, 10)
+            outs.append(np.asarray(trainer.sample(ts, z, lab)))
+            labels.append(np.asarray(lab))
+        return np.concatenate(outs), np.concatenate(labels)
+
+    start_iter = int(ts.step)
+    inception_score_max = 0.0
+    gen_label_acc_max = 0.0
+    rng = jax.random.key(42)
+    for iteration in range(start_iter, iters):
+        t0 = time.time()
+        d_batches = next(d_iter)
+        g_labels = next(g_iter)
+        rng, sub = jax.random.split(rng)
+        ts, m = trainer.step(ts, d_batches, g_labels, iteration, sub)
+
+        metrics.plot("d_cost", float(m["d_cost"]))
+        metrics.plot("g_cost", float(m["g_cost"]))
+        if iteration % 100 == 0:
+            log.info("iter %d d_cost %.4f g_cost %.4f (%.3fs)", iteration,
+                     float(m["d_cost"]), float(m["g_cost"]), time.time() - t0)
+
+        if iteration % flags.inception_freq == flags.inception_freq - 1:
+            log.info("starting inception score computation.")
+            score, std = inception_score(
+                sample_fn=lambda key, b: _sample_images_for_cls(trainer, ts, cfg, key, b),
+                logits_fn=lambda x: eval_cls.logits(eval_cls.params, x),
+                n=50000, batch=500,
+            )
+            inception_score_max = max(inception_score_max, score)
+            metrics.plot("inception_50k", score)
+            metrics.plot("inception_50k_std", std)
+            metrics.plot("inception_50k_max", inception_score_max)
+            log.info("finished inception score computation.")
+
+        if iteration % flags.sample_freq == flags.sample_freq - 1:
+            samples = np.asarray(trainer.sample(ts, fixed_noise, fixed_labels))
+            save_cifar_samples(samples, os.path.join(run_path, f"samples_{iteration}.png"))
+
+        if iteration % flags.generated_label_accuracy_freq == flags.generated_label_accuracy_freq - 1:
+            samples, labels = make_samples(1000)
+            acc = generated_label_accuracy(
+                eval_cls, _to_cls_images(samples), labels
+            )
+            gen_label_acc_max = max(gen_label_acc_max, acc)
+            metrics.plot("gen_label_acc", acc)
+            metrics.plot("gen_label_acc_max", gen_label_acc_max)
+
+        if (iteration < 500) or (iteration % 1000 == 999):
+            metrics.dir_flush(run_path)
+            ckpt.save(iteration, ts)
+        metrics.tick()
+
+    # final gen-label accuracy, optionally permutation-corrected
+    samples, labels = make_samples(1000)
+    cm = None
+    if flags.perm_gen_label_acc and flags.algorithm == "rcgan-u":
+        cm = np.asarray(jax.nn.softmax(ts.params["confusion_logits"]["logits"], axis=-1))
+    acc = generated_label_accuracy(eval_cls, _to_cls_images(samples), labels, confusion_matrix=cm)
+    metrics.plot("gen_label_acc", acc)
+    metrics.dir_flush(run_path)
+    log.info("final generated label accuracy: %s", acc)
+    return ts, acc
+
+
+def _to_cls_images(samples_flat: np.ndarray) -> np.ndarray:
+    """Generator output [-1,1] flat → classifier input [B,32,32,3]."""
+    return to_uint8_samples(samples_flat).astype(np.float32) / 127.5 - 1.0
+
+
+def _sample_images_for_cls(trainer, ts, cfg, key, batch):
+    z = jax.random.normal(key, (batch, cfg.z_dim))
+    labels = jax.random.randint(jax.random.fold_in(key, 1), (batch,), 0, 10)
+    flat = trainer.sample(ts, z, labels)
+    return flat.reshape(-1, 32, 32, 3)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,177 @@
+"""Eval classifiers replacing the reference's frozen GraphDefs.
+
+The reference scores generated images with two frozen TF graphs:
+``mnist/mnist_dcnn/graph_optimized.pb`` (missing from the repo — listed in
+``.MISSING_LARGE_BLOBS``) and ``cifar10/resnet-110/graph_optimized.pb``
+(``mnist/utils.py:273-306``, ``cifar10/gan_resnet.py:424-455``).  The rebuild
+must own these hooks, so we define compact jit-compiled classifiers (a
+CNN for MNIST, a ResNet for CIFAR) plus a trainer; weights are trained once
+on clean labels and cached to disk.
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+import pickle
+from typing import Callable, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from rcgan_tpu.core.module import Ctx
+from rcgan_tpu.ops import conv2d_lib, linear_lib, mean_pool
+
+
+def mnist_cnn(ctx: Ctx, x: jax.Array) -> jax.Array:
+    """Small conv net standing in for the missing ``mnist_dcnn`` frozen
+    graph: conv-pool x2 + 2 dense.  ``x``: [B, 28, 28, 1] in [0, 1]."""
+    h = conv2d_lib(ctx, x, 1, 32, 5, 1, "cls.conv1")
+    h = jax.nn.relu(h)
+    h = mean_pool(h)
+    h = conv2d_lib(ctx, h, 32, 64, 5, 1, "cls.conv2")
+    h = jax.nn.relu(h)
+    h = mean_pool(h)
+    h = h.reshape(h.shape[0], -1)
+    h = jax.nn.relu(linear_lib(ctx, h, 7 * 7 * 64, 256, "cls.fc1"))
+    return linear_lib(ctx, h, 256, 10, "cls.fc2")
+
+
+def cifar_resnet(ctx: Ctx, x: jax.Array, dim: int = 64) -> jax.Array:
+    """Compact pre-act ResNet standing in for the frozen ResNet-110 scorer.
+    ``x``: [B, 32, 32, 3] in [-1, 1]."""
+
+    def block(h, cin, cout, name, down=False):
+        sc = h
+        if down or cin != cout:
+            sc = conv2d_lib(ctx, mean_pool(h) if down else h, cin, cout, 1, 1, name + ".sc",
+                            he_init=False)
+        o = jax.nn.relu(h)
+        o = conv2d_lib(ctx, o, cin, cout, 3, 1, name + ".c1")
+        o = jax.nn.relu(o)
+        o = conv2d_lib(ctx, o, cout, cout, 3, 1, name + ".c2")
+        if down:
+            o = mean_pool(o)
+        return sc + o
+
+    h = conv2d_lib(ctx, x, 3, dim, 3, 1, "cls.stem")
+    h = block(h, dim, dim, "cls.b1")
+    h = block(h, dim, dim * 2, "cls.b2", down=True)
+    h = block(h, dim * 2, dim * 2, "cls.b3")
+    h = block(h, dim * 2, dim * 4, "cls.b4", down=True)
+    h = block(h, dim * 4, dim * 4, "cls.b5")
+    h = jax.nn.relu(h)
+    h = jnp.mean(h, axis=(1, 2))
+    return linear_lib(ctx, h, dim * 4, 10, "cls.head")
+
+
+class EvalClassifier:
+    """init/train/predict wrapper around one of the nets above."""
+
+    def __init__(self, net: Callable, input_shape: Tuple[int, ...]):
+        self.net = net
+        self.input_shape = input_shape
+        self.params = None
+
+    def init(self, rng: jax.Array):
+        ctx = Ctx(rng=rng, init=True)
+        self.net(ctx, jnp.zeros((2,) + self.input_shape, jnp.float32))
+        self.params = ctx.params
+        return self.params
+
+    @functools.partial(jax.jit, static_argnums=0)
+    def logits(self, params, x):
+        ctx = Ctx(params=params, state={}, init=False)
+        return self.net(ctx, x)
+
+    def predict(self, x: np.ndarray, batch_size: int = 500) -> np.ndarray:
+        outs = []
+        for i in range(0, len(x), batch_size):
+            outs.append(np.asarray(jnp.argmax(self.logits(self.params, x[i : i + batch_size]), -1)))
+        return np.concatenate(outs)
+
+    def train(
+        self,
+        rng: jax.Array,
+        x: np.ndarray,
+        y: np.ndarray,
+        epochs: int = 3,
+        batch_size: int = 256,
+        lr: float = 1e-3,
+    ) -> float:
+        """Adam + softmax CE on clean labels; returns final train accuracy."""
+        if self.params is None:
+            self.init(rng)
+        opt = optax.adam(lr)
+        opt_state = opt.init(self.params)
+
+        @jax.jit
+        def step(params, opt_state, xb, yb):
+            def loss_fn(p):
+                ctx = Ctx(params=p, state={}, init=False)
+                logits = self.net(ctx, xb)
+                return jnp.mean(
+                    optax.softmax_cross_entropy_with_integer_labels(logits, yb)
+                ), logits
+
+            (loss, logits), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+            updates, opt_state = opt.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            acc = jnp.mean(jnp.argmax(logits, -1) == yb)
+            return params, opt_state, loss, acc
+
+        n = len(x)
+        acc = 0.0
+        rs = np.random.RandomState(0)
+        for _ in range(epochs):
+            perm = rs.permutation(n)
+            for i in range(0, n - batch_size + 1, batch_size):
+                idx = perm[i : i + batch_size]
+                self.params, opt_state, loss, acc = step(
+                    self.params, opt_state, jnp.asarray(x[idx]), jnp.asarray(y[idx])
+                )
+        return float(acc)
+
+    # ------------------------------------------------------- persistence
+    def save(self, path: str):
+        with open(path, "wb") as f:
+            pickle.dump(jax.tree_util.tree_map(np.asarray, self.params), f)
+
+    def load(self, path: str) -> bool:
+        if not os.path.exists(path):
+            return False
+        with open(path, "rb") as f:
+            self.params = pickle.load(f)
+        return True
+
+
+def mnist_classifier() -> EvalClassifier:
+    return EvalClassifier(mnist_cnn, (28, 28, 1))
+
+
+def cifar_classifier(dim: int = 64) -> EvalClassifier:
+    return EvalClassifier(functools.partial(cifar_resnet, dim=dim), (32, 32, 3))
+
+
+def generated_label_accuracy(
+    classifier: EvalClassifier,
+    samples: np.ndarray,
+    labels: np.ndarray,
+    confusion_matrix: np.ndarray | None = None,
+) -> float:
+    """Generator-label accuracy (``cifar10/gan_resnet.py:424-455``;
+    ``mnist/utils.py:273-306``): fraction of generated images the eval
+    classifier assigns to their conditioning label.
+
+    ``confusion_matrix``: the learned C for the permutation-corrected
+    variant (``--perm_gen_label_acc``): labels are first mapped through the
+    argmax-binarized C.
+    """
+    if confusion_matrix is not None:
+        perm = np.argmax(confusion_matrix, axis=-1)
+        labels = perm[labels]
+    preds = classifier.predict(samples)
+    return float((preds == labels).mean())

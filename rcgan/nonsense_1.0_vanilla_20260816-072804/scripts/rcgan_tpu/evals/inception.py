@@ -1,0 +1,63 @@
+"""Inception-score evaluation, TPU-resident.
+
+The scoring math is the exp-KL-over-splits estimator of
+``cifar10/common/inception/inception_score_.py:61-68``; the classifier is
+pluggable.  The reference loads Google's frozen Inception-v3 GraphDef (not
+redistributable here — zero-egress environment), so the default scorer is
+the compact CIFAR ResNet from :mod:`rcgan_tpu.evals.classifier`; scores with
+it are self-consistent across runs/modes but are NOT on the Inception-v3
+scale (the 11.31 real-data anchor).  Drop in any ``logits_fn`` (e.g. a JAX
+Inception-v3 port with real weights) to get paper-scale numbers.
+
+Unlike the reference — which pauses training for minutes generating 50k
+samples 100 at a time through feed_dict (``gan_resnet.py:838-845``) — sample
+generation and classification here are one jitted batched loop on device.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+def preds_to_score(preds: np.ndarray, splits: int = 10) -> Tuple[float, float]:
+    """``exp(E KL(p(y|x) || p(y)))`` per split; returns (mean, std)
+    (``inception_score_.py:61-68``)."""
+    scores = []
+    n = preds.shape[0]
+    for i in range(splits):
+        part = preds[i * n // splits : (i + 1) * n // splits]
+        kl = part * (np.log(part) - np.log(np.mean(part, axis=0, keepdims=True)))
+        scores.append(np.exp(np.mean(np.sum(kl, axis=1))))
+    return float(np.mean(scores)), float(np.std(scores))
+
+
+def inception_score(
+    sample_fn: Callable[[jax.Array, int], jax.Array],
+    logits_fn: Callable[[jax.Array], jax.Array],
+    n: int = 50000,
+    batch: int = 500,
+    splits: int = 10,
+    rng: jax.Array | None = None,
+) -> Tuple[float, float]:
+    """Generate ``n`` samples with ``sample_fn(key, batch)`` and score them.
+
+    ``sample_fn`` returns images shaped for ``logits_fn``; both run jitted on
+    device, with only the [batch, 10] probabilities copied back per step.
+    """
+    rng = jax.random.key(0) if rng is None else rng
+
+    @jax.jit
+    def step(key):
+        imgs = sample_fn(key, batch)
+        logits = logits_fn(imgs)
+        return jax.nn.softmax(logits, axis=-1)
+
+    preds = []
+    for i in range(n // batch):
+        preds.append(np.asarray(step(jax.random.fold_in(rng, i))))
+    return preds_to_score(np.concatenate(preds, axis=0), splits)

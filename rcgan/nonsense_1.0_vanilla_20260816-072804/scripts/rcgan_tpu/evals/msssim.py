@@ -1,0 +1,89 @@
+"""MS-SSIM image similarity (reference CLI: ``cifar10/common/msssim.py``,
+Wang et al. multi-scale SSIM with the standard 5-level weights), implemented
+with XLA convs so it jit-compiles on TPU.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+_WEIGHTS = (0.0448, 0.2856, 0.3001, 0.2363, 0.1333)
+
+
+def _fspecial_gauss(size: int, sigma: float) -> jnp.ndarray:
+    coords = np.arange(size, dtype=np.float64) - (size - 1) / 2.0
+    g = np.exp(-(coords**2) / (2.0 * sigma**2))
+    k = np.outer(g, g)
+    return jnp.asarray(k / k.sum(), jnp.float32)
+
+
+def _filter2(img: jnp.ndarray, window: jnp.ndarray) -> jnp.ndarray:
+    """'valid' 2-D filtering applied per channel; img [B,H,W,C]."""
+    c = img.shape[-1]
+    w = jnp.tile(window[:, :, None, None], (1, 1, 1, c))  # HWIO depthwise
+    return jax.lax.conv_general_dilated(
+        img, w, (1, 1), "VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=c,
+    )
+
+
+def ssim(img1, img2, max_val: float = 255.0, filter_size: int = 11, filter_sigma: float = 1.5,
+         k1: float = 0.01, k2: float = 0.03):
+    """Returns (mean SSIM, mean contrast-structure) for [B,H,W,C] images."""
+    img1 = jnp.asarray(img1, jnp.float32)
+    img2 = jnp.asarray(img2, jnp.float32)
+    h, w = img1.shape[1:3]
+    size = min(filter_size, h, w)
+    sigma = size * filter_sigma / filter_size if filter_size else 0
+
+    if size:
+        window = _fspecial_gauss(size, sigma)
+        mu1, mu2 = _filter2(img1, window), _filter2(img2, window)
+        sigma11 = _filter2(img1 * img1, window)
+        sigma22 = _filter2(img2 * img2, window)
+        sigma12 = _filter2(img1 * img2, window)
+    else:
+        mu1, mu2 = img1, img2
+        sigma11, sigma22, sigma12 = img1 * img1, img2 * img2, img1 * img2
+
+    mu11, mu22, mu12 = mu1 * mu1, mu2 * mu2, mu1 * mu2
+    sigma11 = sigma11 - mu11
+    sigma22 = sigma22 - mu22
+    sigma12 = sigma12 - mu12
+
+    c1 = (k1 * max_val) ** 2
+    c2 = (k2 * max_val) ** 2
+    v1 = 2.0 * sigma12 + c2
+    v2 = sigma11 + sigma22 + c2
+    s = jnp.mean((2.0 * mu12 + c1) * v1 / ((mu11 + mu22 + c1) * v2))
+    cs = jnp.mean(v1 / v2)
+    return s, cs
+
+
+def _downsample2(img):
+    """2x average-pool with SAME-style reflect of odd edges (simple crop)."""
+    b, h, w, c = img.shape
+    img = img[:, : h - h % 2, : w - w % 2, :]
+    return 0.25 * (
+        img[:, ::2, ::2] + img[:, 1::2, ::2] + img[:, ::2, 1::2] + img[:, 1::2, 1::2]
+    )
+
+
+def msssim(img1, img2, max_val: float = 255.0, weights=_WEIGHTS) -> float:
+    """Multi-scale SSIM over ``len(weights)`` dyadic scales."""
+    img1 = jnp.asarray(img1, jnp.float32)
+    img2 = jnp.asarray(img2, jnp.float32)
+    mssim, mcs = [], []
+    for _ in weights:
+        s, cs = ssim(img1, img2, max_val=max_val)
+        mssim.append(s)
+        mcs.append(cs)
+        img1, img2 = _downsample2(img1), _downsample2(img2)
+    mssim = jnp.stack(mssim)
+    mcs = jnp.stack(mcs)
+    w = jnp.asarray(weights)
+    return float(jnp.prod(mcs[:-1] ** w[:-1]) * (mssim[-1] ** w[-1]))

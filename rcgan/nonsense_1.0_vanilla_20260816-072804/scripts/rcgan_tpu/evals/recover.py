@@ -1,0 +1,88 @@
+"""cGAN label recovery (reference: ``DCGAN.recover_labels``,
+``mnist/model.py:494-640``).
+
+Given a trained generator and a batch of real images with unknown labels,
+optimize per-example ``(z, y_logits)`` so that the softmax-weighted MSE
+between the image and ``G(z, one_hot(k))`` over all classes k is minimal:
+
+    loss = mean_i Σ_k softmax(y_logits_i)_k · mean((x_i − G(z_ik, e_k))²)
+
+Plain SGD (reference: lr 5e2, 1000 steps, batch 500) — here the whole loop
+is a single jitted ``lax.scan`` on device instead of 1000 feed_dict steps.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+@dataclasses.dataclass(frozen=True)
+class RecoverConfig:
+    batch_size: int = 500
+    epochs: int = 1000
+    learning_rate: float = 5.0e2
+    y_dim: int = 10
+    z_dim: int = 100
+
+
+def recover_labels(
+    sampler: Callable[[jax.Array, jax.Array], jax.Array],
+    images: jax.Array,
+    y_actual: jax.Array,
+    cfg: RecoverConfig,
+    rng: jax.Array,
+    log_every: int = 0,
+) -> Tuple[np.ndarray, dict]:
+    """``sampler(z, y_onehot)`` is the frozen generator (BN inference mode).
+
+    ``images``: [B, H, W, C]; ``y_actual``: [B] int (eval only).
+    Returns (recovered labels [B], metrics with mse/zero-one trajectories).
+    """
+    b, y_dim, z_dim = cfg.batch_size, cfg.y_dim, cfg.z_dim
+    assert images.shape[0] == b
+
+    # trainables: y_logit_recover [B, y], z_recover [B*y, z]
+    # (mnist/model.py:518-531; TF default glorot-uniform init)
+    k1, k2 = jax.random.split(rng)
+    lim_y = np.sqrt(6.0 / (b + y_dim))
+    y_logits0 = jax.random.uniform(k1, (b, y_dim), jnp.float32, -lim_y, lim_y)
+    lim_z = np.sqrt(6.0 / (b * y_dim + z_dim))
+    z0 = jax.random.uniform(k2, (b * y_dim, z_dim), jnp.float32, -lim_z, lim_z)
+
+    hard_y = jnp.tile(jnp.eye(y_dim, dtype=jnp.float32), (b, 1))  # [B*y, y]
+    imgs = images.astype(jnp.float32)
+
+    def loss_fn(z, y_logits):
+        y_recover = jax.nn.softmax(y_logits, axis=-1)  # [B, y]
+        gen = sampler(z, hard_y)  # [B*y, H, W, C]
+        gen = gen.reshape((b, y_dim) + imgs.shape[1:])
+        sq = jnp.mean((imgs[:, None] - gen) ** 2, axis=(-1, -2, -3))  # [B, y]
+        return jnp.mean(jnp.sum(sq * y_recover, axis=-1))
+
+    grad_fn = jax.value_and_grad(loss_fn, argnums=(0, 1))
+
+    def step(carry, _):
+        z, y_logits = carry
+        mse, (gz, gy) = grad_fn(z, y_logits)
+        z = z - cfg.learning_rate * gz
+        y_logits = y_logits - cfg.learning_rate * gy
+        zero_one = jnp.mean(jnp.argmax(y_logits, -1) != y_actual)
+        return (z, y_logits), (mse, zero_one)
+
+    (z, y_logits), (mses, zero_ones) = jax.lax.scan(
+        jax.jit(step), (z0, y_logits0), None, length=cfg.epochs
+    )
+
+    recovered = np.asarray(jnp.argmax(y_logits, axis=-1))
+    metrics = {
+        "mse": np.asarray(mses),
+        "zero_one": np.asarray(zero_ones),
+        "accuracy": float((recovered == np.asarray(y_actual)).mean()),
+    }
+    return recovered, metrics

@@ -1,0 +1,63 @@
+"""Pallas TPU kernel: fused CIFAR dequantization.
+
+Fuses the reference's real-data preamble (``cifar10/gan_resnet.py:548-551``)
+— uint8→[-1,1) scaling, additive U[0, 1/128) dequantization noise, and the
+CHW→HWC permutation — into one pass using the on-core PRNG
+(``pltpu.prng_random_bits``), removing the host-side RNG tensor and two
+intermediate HBM round trips per critic step.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from rcgan_tpu.ops.pallas import runtime
+
+
+def _kernel(seed_ref, x_ref, out_ref):
+    pltpu.prng_seed(seed_ref[0])
+    x = x_ref[:].astype(jnp.float32)  # [B, 3072] CHW-flat
+    x = 2.0 * (x / 256.0 - 0.5)
+    bits = pltpu.prng_random_bits(x.shape)
+    # uniform in [0, 1/128): take 24 mantissa-ish bits / 2^24 / 128
+    u = (bits >> 8).astype(jnp.float32) * (1.0 / (1 << 24) / 128.0)
+    out_ref[:] = x + u
+
+
+def dequantize_chw_flat(x_int: jax.Array, seed: jax.Array) -> jax.Array:
+    """[B, 3072] int (uint8 values) → [B, 3072] float in [-1, 1+1/128),
+    still CHW-flat; use :func:`chw_to_hwc_flat` after (XLA fuses the
+    transpose into the consumer)."""
+    b, d = x_int.shape
+    out = pl.pallas_call(
+        _kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
+            out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, d), jnp.float32),
+        interpret=runtime.interpret_mode(),
+    )(jnp.atleast_1d(seed).astype(jnp.int32), x_int.astype(jnp.int32))
+    return out
+
+
+def chw_to_hwc_flat(x: jax.Array, img_size: int = 32, img_dim: int = 3) -> jax.Array:
+    b = x.shape[0]
+    return (
+        x.reshape(b, img_dim, img_size, img_size)
+        .transpose(0, 2, 3, 1)
+        .reshape(b, img_size * img_size * img_dim)
+    )
+
+
+def dequantize_fused(x_int: jax.Array, seed: jax.Array, img_size: int = 32, img_dim: int = 3):
+    """Drop-in for ``data.cifar10.dequantize_chw_to_hwc`` on TPU (PRNG stream
+    differs from jax.random — same distribution)."""
+    return chw_to_hwc_flat(dequantize_chw_flat(x_int, seed), img_size, img_dim)

@@ -1,0 +1,164 @@
+"""MNIST fused train step: 1 D update + 2x (G update + C update) compiled as
+ONE XLA program (reference hot loop ``mnist/model.py:335-467``, which issued
+3 optimizer ``sess.run``s + 5 diagnostic evals per batch over feed_dict).
+
+Diagnostics (errD/errG/D probabilities) are byproducts of the same forward
+passes instead of the reference's 5 extra ``sess.run``s — same quantities,
+evaluated pre-update rather than re-evaluated post-update.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from rcgan_tpu.core.module import Ctx, merge
+from rcgan_tpu.algorithms.mnist import MnistAlgoConfig, mnist_losses, partition_predicates
+from rcgan_tpu.models.dcgan import DCGANConfig, generator
+from rcgan_tpu.train.state import (
+    TrainState,
+    apply_constraints,
+    apply_updates_with_lr,
+    init_train_state,
+    scaleless_adam,
+)
+
+
+@dataclasses.dataclass(frozen=True)
+class MnistTrainConfig:
+    learning_rate: float = 2e-4
+    beta1: float = 0.5
+    confuse_multiplier: float = 10.0
+    perm_multiplier: float = 10.0
+    g_steps: int = 2  # mnist/model.py:359-372: 1 D step then 2 G steps
+
+
+def _loss_ctx(params, state, rng, compute_dtype):
+    return Ctx(params=params, state=state, rng=rng, init=False, train=True,
+               update_sn=True, compute_dtype=compute_dtype)
+
+
+class MnistTrainer:
+    """Owns configs, constraints, optimizers and the jitted step."""
+
+    def __init__(
+        self,
+        cfg: DCGANConfig,
+        acfg: MnistAlgoConfig,
+        tcfg: MnistTrainConfig,
+        confusion_actual: np.ndarray,
+        compute_dtype=jnp.float32,
+    ):
+        self.cfg, self.acfg, self.tcfg = cfg, acfg, tcfg
+        self.confusion_actual = jnp.asarray(confusion_actual, jnp.float32)
+        self.compute_dtype = compute_dtype
+        self.optimizers = {
+            "disc": scaleless_adam(tcfg.beta1, 0.999),
+            "gen": scaleless_adam(tcfg.beta1, 0.999),
+            "confusion": scaleless_adam(tcfg.beta1, 0.999),
+        }
+        self.constraints = {}
+
+    # ------------------------------------------------------------- build
+    def init(self, rng: jax.Array, sample_batch: dict) -> TrainState:
+        ctx = Ctx(rng=rng, init=True, compute_dtype=self.compute_dtype)
+        z = jnp.zeros((sample_batch["images"].shape[0], self.cfg.z_dim), jnp.float32)
+        mnist_losses(ctx, self.cfg, self.acfg, sample_batch, z, self.confusion_actual)
+        self.constraints = ctx.constraints
+        preds = partition_predicates()
+        if not self.acfg.estimate_confuse:
+            preds = {k: v for k, v in preds.items() if k != "confusion"}
+        return init_train_state(ctx.params, ctx.updated_state(), preds, self.optimizers)
+
+    # -------------------------------------------------------------- step
+    @functools.partial(jax.jit, static_argnums=0, donate_argnums=1)
+    def step(self, ts: TrainState, batch: dict, rng: jax.Array) -> tuple:
+        """One reference iteration: D update, then g_steps x (G+C update),
+        all with the same z (``mnist/model.py:342-372``)."""
+        cfg, acfg, tcfg = self.cfg, self.acfg, self.tcfg
+        lr = tcfg.learning_rate
+        z = jax.random.uniform(
+            jax.random.fold_in(rng, 0), (batch["images"].shape[0], cfg.z_dim), jnp.float32, -1.0, 1.0
+        )
+
+        groups = dict(ts.groups)
+        state = ts.state
+        opt_states = dict(ts.opt_states)
+
+        # ---- D update: minimize d_loss + 1*class_loss_real over d_ vars
+        def d_loss_fn(d_params, state):
+            params = merge(*[g for n, g in groups.items() if n != "disc"], d_params)
+            ctx = _loss_ctx(params, state, None, self.compute_dtype)
+            out = mnist_losses(ctx, cfg, acfg, batch, z, self.confusion_actual)
+            return out["d_loss"] + 1.0 * out["class_loss_real"], (out, ctx.updated_state())
+
+        (d_total, (d_out, state)), d_grads = jax.value_and_grad(d_loss_fn, has_aux=True)(
+            groups["disc"], state
+        )
+        d_upd, opt_states["disc"] = self.optimizers["disc"].update(
+            d_grads, opt_states["disc"], groups["disc"]
+        )
+        groups["disc"] = apply_constraints(
+            apply_updates_with_lr(groups["disc"], d_upd, lr), self.constraints
+        )
+
+        # ---- G (+C) updates: g_loss + perm_mult*class_loss_fake over g_ vars;
+        #      confusion logits minimize plain g_loss at lr*confuse_multiplier.
+        g_out = None
+        for _ in range(tcfg.g_steps):
+            has_c = "confusion" in groups
+
+            def g_loss_fn(g_params, c_params, state):
+                parts = [g for n, g in groups.items() if n not in ("gen", "confusion")]
+                params = merge(*parts, g_params, c_params)
+                ctx = _loss_ctx(params, state, None, self.compute_dtype)
+                out = mnist_losses(ctx, cfg, acfg, batch, z, self.confusion_actual)
+                total = out["g_loss"] + tcfg.perm_multiplier * out["class_loss_fake"]
+                return total, (out, ctx.updated_state())
+
+            c_group = groups.get("confusion", {})
+            (_, (g_out, state)), (g_grads, c_grads) = jax.value_and_grad(
+                g_loss_fn, argnums=(0, 1), has_aux=True
+            )(groups["gen"], c_group, state)
+            g_upd, opt_states["gen"] = self.optimizers["gen"].update(
+                g_grads, opt_states["gen"], groups["gen"]
+            )
+            groups["gen"] = apply_updates_with_lr(groups["gen"], g_upd, lr)
+            if has_c:
+                # note: grad of (g_loss + perm*class_fake) wrt confusion logits
+                # equals grad of g_loss — class_loss_fake does not touch C.
+                c_upd, opt_states["confusion"] = self.optimizers["confusion"].update(
+                    c_grads, opt_states["confusion"], c_group
+                )
+                groups["confusion"] = apply_updates_with_lr(
+                    c_group, c_upd, lr * tcfg.confuse_multiplier
+                )
+
+        metrics = {
+            "d_loss": d_out["d_loss"],
+            "d_loss_real": d_out["d_loss_real"],
+            "d_loss_fake": d_out["d_loss_fake"],
+            "g_loss": g_out["g_loss"],
+            "class_loss_real": d_out["class_loss_real"],
+            "class_loss_fake": g_out["class_loss_fake"],
+            "prob_real": d_out["D"],
+            "prob_fake": g_out["D_"],
+            "confusion": g_out["confusion"],
+        }
+        new_ts = TrainState(groups=groups, state=state, opt_states=opt_states, step=ts.step + 1)
+        return new_ts, metrics
+
+    # ------------------------------------------------------------ sample
+    @functools.partial(jax.jit, static_argnums=0)
+    def sample(self, ts: TrainState, z: jax.Array, y_onehot: jax.Array) -> jax.Array:
+        """``gen_sampler``: generator with BN in inference mode
+        (``mnist/model.py:733-757``)."""
+        ctx = Ctx(params=ts.params, state=ts.state, rng=None, init=False,
+                  train=False, update_sn=False, compute_dtype=self.compute_dtype)
+        return generator(ctx, self.cfg, z, y_onehot, train=False)

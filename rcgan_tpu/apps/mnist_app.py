@@ -1,0 +1,225 @@
+"""MNIST experiment orchestration (reference: ``mnist/main.py:70-145`` +
+``DCGAN.train`` ``mnist/model.py:249-491``): run-dir layout, training loop
+with periodic sampling/checkpointing/eval, RCGAN+y epoch re-noising, and the
+post-training label recovery — driven by the flag-parity CLI.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from rcgan_tpu import config as flagslib
+from rcgan_tpu.algorithms.mnist import MnistAlgoConfig
+from rcgan_tpu.data import mnist as mnist_data
+from rcgan_tpu.data.confusion import one_coin_matrix
+from rcgan_tpu.evals.classifier import generated_label_accuracy, mnist_classifier
+from rcgan_tpu.evals.recover import RecoverConfig, recover_labels
+from rcgan_tpu.models.dcgan import DCGANConfig
+from rcgan_tpu.train.checkpoint import Checkpointer
+from rcgan_tpu.train.mnist_loop import MnistTrainer, MnistTrainConfig
+from rcgan_tpu.utils import run_dir as run_dir_lib
+from rcgan_tpu.utils.images import image_manifold_size, save_images
+from rcgan_tpu.utils.metrics import MetricLogger
+
+log = logging.getLogger(__name__)
+
+
+def build_configs(flags):
+    cfg = DCGANConfig(
+        batch_size=flags.batch_size,
+        z_dim=flags.z_dim,
+        disc_type=flags.disc_type,
+        spectral_norm=flags.spectral_norm,
+        max_norm=flags.max_norm,
+        concat_y=flags.concat_y,
+        concat_y_layers=tuple(int(x) for x in flags.concat_y_layers),
+    )
+    acfg = MnistAlgoConfig(
+        algorithm=flags.algorithm,
+        estimate_confuse=flags.estimate_confuse,
+        perm_regularizer=flags.perm_regularizer,
+        loss_fn=flags.loss_fn,
+        perm_multiplier=flags.perm_multiplier,
+        confuse_multiplier=flags.confuse_multiplier,
+    )
+    tcfg = MnistTrainConfig(
+        learning_rate=flags.learning_rate,
+        beta1=flags.beta1,
+        confuse_multiplier=flags.confuse_multiplier,
+        perm_multiplier=flags.perm_multiplier,
+    )
+    return cfg, acfg, tcfg
+
+
+def get_eval_classifier(data: mnist_data.MnistData, cache_dir: str):
+    """Train-once-and-cache stand-in for the missing frozen ``mnist_dcnn``
+    classifier (SURVEY §2 M10)."""
+    cls = mnist_classifier()
+    path = os.path.join(cache_dir, "mnist_eval_classifier.pkl")
+    if not cls.load(path):
+        log.info("training MNIST eval classifier (one-time)...")
+        cls.train(jax.random.key(123), data.x[:60000], data.y_actual[:60000], epochs=1)
+        os.makedirs(cache_dir, exist_ok=True)
+        cls.save(path)
+    return cls
+
+
+def batch_dict(data: mnist_data.MnistData, idx, y_real=None, y_fake=None):
+    y_real = data.y_real if y_real is None else y_real
+    y_fake = data.y_fake if y_fake is None else y_fake
+    return {
+        "images": jnp.asarray(data.x[idx]),
+        "y_real": jnp.asarray(y_real[idx]),
+        "y_gen": jnp.asarray(data.y_gen[idx]),
+        "y_fake": jnp.asarray(y_fake[idx]),
+        "y_real_weights": jnp.asarray(data.y_real_weights[idx]),
+    }
+
+
+def train(flags, trainer: MnistTrainer, ts, data: mnist_data.MnistData, ckpt: Checkpointer,
+          sample_dir: str, eval_cls, metrics: MetricLogger):
+    bs = flags.batch_size
+    n = min(len(data), int(flags.train_size) if np.isfinite(flags.train_size) else len(data))
+    batch_idxs = n // bs
+    rng = jax.random.key(flags.seed + 11)
+
+    # fixed sample grid: 10 examples per class by generator label
+    sample_z = np.random.RandomState(0).uniform(-1, 1, (bs, flags.z_dim)).astype(np.float32)
+    per_class = [np.where(data.y_gen == i)[0][:10] for i in range(10)]
+    sample_labels = data.y_gen[np.concatenate(per_class)[:bs]]
+    sample_y = jnp.asarray(np.eye(10, dtype=np.float32)[sample_labels])
+
+    counter = 1
+    start = time.time()
+    for epoch in range(flags.epoch):
+        y_real_ep, y_fake_ep = data.y_real, data.y_fake
+        if flags.add_noise:  # RCGAN+y annealed re-noising (mnist/model.py:293-333)
+            rel_alpha = mnist_data.noise_schedule_alpha(
+                epoch, flags.alpha, flags.noise_alpha, flags.noise_start, flags.noise_end
+            )
+            noise_c = one_coin_matrix(rel_alpha, 10)
+            y_real_ep, y_fake_ep = mnist_data.renoise_labels(
+                np.random.RandomState(epoch), data, noise_c
+            )
+
+        for idx in range(batch_idxs):
+            sl = slice(idx * bs, (idx + 1) * bs)
+            batch = batch_dict(data, sl, y_real_ep, y_fake_ep)
+            rng, sub = jax.random.split(rng)
+            ts, m = trainer.step(ts, batch, sub)
+
+            counter += 1
+            if (epoch < 1 and idx < 20) or idx % 350 == 0:
+                pr = np.asarray(m["prob_real"])
+                pf = np.asarray(m["prob_fake"])
+                log.info(
+                    "Epoch: [%2d] [%4d/%4d] time: %4.2f, d_loss: %.3f, g_loss: %.3f, "
+                    "d_real: %2d, %.3f, %.3f, d_fake: %2d, %.3f, %.3f",
+                    epoch, idx, batch_idxs, time.time() - start,
+                    float(m["d_loss"]), float(m["g_loss"]),
+                    int((pr >= 0.5).sum()), pr.min(), pr.max(),
+                    int((pf <= 0.5).sum()), pf.min(), pf.max(),
+                )
+            metrics.plot("d_loss", float(m["d_loss"]))
+            metrics.plot("g_loss", float(m["g_loss"]))
+            metrics.tick()
+
+            if counter % 700 == 1:
+                samples = np.asarray(trainer.sample(ts, jnp.asarray(sample_z), sample_y))
+                save_images(samples, image_manifold_size(samples.shape[0]),
+                            os.path.join(sample_dir, f"train_{epoch:02d}_{idx:04d}.png"))
+                ckpt.save(counter, ts)
+
+        if (epoch + 1) % 5 == 0:  # gen-label-acc every 5 epochs (model.py:473-491)
+            accs = []
+            sample_y_np = np.asarray(sample_y)
+            for i in range(100):
+                z = np.random.RandomState(1000 + i).uniform(-1, 1, (bs, flags.z_dim)).astype(np.float32)
+                s = np.asarray(trainer.sample(ts, jnp.asarray(z), sample_y))
+                accs.append(generated_label_accuracy(eval_cls, s, np.argmax(sample_y_np, -1)))
+            acc = float(np.mean(accs))
+            metrics.plot("gen_label_acc", acc)
+            log.info("######EPOCH=%d, mean generated label accuracy=%s", epoch, acc)
+
+    return ts
+
+
+def main(argv=None):
+    flags = flagslib.parse(flagslib.mnist_flags(), argv)
+    flags.input_height = flags.output_height = 28
+    flags.input_width = flags.input_width or 28
+    flags.output_width = flags.output_width or 28
+
+    prefix = "" if flags.dir_prefix is None else flags.dir_prefix + "_"
+    if flags.checkpoint is None:
+        run_path = run_dir_lib.mnist_run_dir(
+            flags.checkpoint_dir, prefix, flags.algorithm, flags.alpha, flags.disc_type
+        )
+    else:
+        run_path = os.path.join(flags.checkpoint_dir, flags.checkpoint)
+    sample_dir = os.path.join(run_path, "samples")
+    os.makedirs(sample_dir, exist_ok=True)
+    run_dir_lib.record_setting(run_path, vars(flags))
+    # force=True: jax's import already configured the root logger
+    logging.basicConfig(level=logging.INFO, force=True)
+    if flags.logs_at_ckpt:
+        flags.logs_dir = run_path
+    log.info("run dir: %s", run_path)
+
+    data = mnist_data.load_mnist(
+        flags.data_dir, flags.alpha, flags.confusion_class_depend, flags.real_match,
+        seed=flags.seed, allow_synthetic=flags.allow_synthetic,
+    )
+    log.info("C=\n%s\nC_inv=\n%s", data.confusion, data.confusion_inv)
+
+    cfg, acfg, tcfg = build_configs(flags)
+    dtype = jnp.bfloat16 if flags.compute_dtype == "bfloat16" else jnp.float32
+    trainer = MnistTrainer(cfg, acfg, tcfg, data.confusion, compute_dtype=dtype)
+    ts = trainer.init(jax.random.key(flags.seed), batch_dict(data, slice(0, flags.batch_size)))
+
+    ckpt = Checkpointer(os.path.join(run_path, "ckpt"))
+    metrics = MetricLogger()
+    eval_cls = get_eval_classifier(data, flags.checkpoint_dir)
+
+    restored = ckpt.restore(ts)
+    if flags.train or restored is None:
+        if restored is not None:
+            ts = restored
+        ts = train(flags, trainer, ts, data, ckpt, sample_dir, eval_cls, metrics)
+        ckpt.save(int(ts.step), ts)
+    else:
+        ts = restored
+    metrics.dir_flush(run_path)
+
+    # ---- label recovery always runs after training (mnist/main.py:142)
+    rcfg = RecoverConfig(
+        batch_size=flags.recover_batch_size,
+        epochs=flags.recover_epoch,
+        learning_rate=flags.recover_learning_rate,
+        z_dim=flags.z_dim,
+    )
+    rs = np.random.RandomState(0)
+    pick = rs.randint(len(data), size=rcfg.batch_size)
+    sampler = lambda z, y: trainer.sample(ts, z, y)
+    _, rec_metrics = recover_labels(
+        sampler,
+        jnp.asarray(data.x[pick]),
+        jnp.asarray(data.y_actual[pick]),
+        rcfg,
+        jax.random.key(7),
+    )
+    log.info("label recovery accuracy: %s", rec_metrics["accuracy"])
+    with open(os.path.join(run_path, "recovery.txt"), "w") as f:
+        f.write(f"accuracy {rec_metrics['accuracy']}\n")
+    return ts, rec_metrics
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,244 @@
+"""CIFAR fused training cycle: (1 G step + C step) then N_CRITIC D steps
+compiled as ONE XLA program per iteration (reference hot loop
+``cifar10/gan_resnet.py:916-947`` issued 6 feed_dict ``sess.run``s).
+
+Data parallelism is shard_map over a 1-D ``('data',)`` mesh: each device
+computes its shard's losses/grads, gradients are ``psum``-averaged over ICI,
+and identical updates keep params replicated — the TPU-native equivalent of
+the reference's two-tower in-graph replication + shared variables
+(``gan_resnet.py:183-192,529-546,557-584,697``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+
+from rcgan_tpu.core.module import Ctx, merge
+from rcgan_tpu.algorithms.cifar import (
+    CifarAlgoConfig,
+    disc_loss,
+    gen_loss,
+    lr_decay,
+    partition_predicates,
+)
+from rcgan_tpu.data.cifar10 import dequantize_chw_to_hwc
+from rcgan_tpu.models.resnet_gan import ResnetGANConfig, generator
+from rcgan_tpu.train.state import (
+    TrainState,
+    apply_updates_with_lr,
+    init_train_state,
+    scaleless_adam,
+)
+
+
+@dataclasses.dataclass(frozen=True)
+class CifarTrainConfig:
+    lr: float = 2e-4
+    beta1: float = 0.0
+    beta2: float = 0.9
+    n_critic: int = 5
+    gen_bs_multiple: int = 2
+    decay: bool = True
+    confuse_multiplier: float = 1.0
+    confuse_lr_decay: bool = False
+
+
+class CifarTrainer:
+    """Builds params and the jitted (optionally sharded) train cycle."""
+
+    def __init__(
+        self,
+        cfg: ResnetGANConfig,
+        acfg: CifarAlgoConfig,
+        tcfg: CifarTrainConfig,
+        confusion_actual: np.ndarray,
+        mesh: Optional[Mesh] = None,
+        compute_dtype=jnp.float32,
+    ):
+        self.cfg, self.acfg, self.tcfg = cfg, acfg, tcfg
+        self.confusion_actual = jnp.asarray(confusion_actual, jnp.float32)
+        self.mesh = mesh
+        self.compute_dtype = compute_dtype
+        adam = lambda: scaleless_adam(tcfg.beta1, tcfg.beta2)
+        self.optimizers = {"disc": adam(), "gen": adam(), "confusion": adam()}
+
+    # ------------------------------------------------------------- build
+    def init(self, rng: jax.Array, batch_size: int) -> TrainState:
+        ctx = Ctx(rng=rng, init=True, compute_dtype=self.compute_dtype)
+        n = batch_size if self.mesh is None else batch_size // self.mesh.devices.size
+        dummy = {
+            "real_data": jnp.zeros((n, self.cfg.output_dim), jnp.float32),
+            "labels": jnp.zeros((n,), jnp.int32),
+            "labels_random": jnp.zeros((n,), jnp.int32),
+            "labels_biased": jnp.zeros((n,), jnp.int32),
+            "labels_inv_weights": jnp.zeros((n, self.cfg.vocab_size), jnp.float32),
+        }
+        z = jnp.zeros((n, self.cfg.z_dim), jnp.float32)
+        disc_loss(ctx, self.cfg, self.acfg, dummy, z, self.confusion_actual)
+        zg = jnp.zeros((n * self.tcfg.gen_bs_multiple, self.cfg.z_dim), jnp.float32)
+        gen_loss(ctx, self.cfg, self.acfg, dummy["labels_random"].repeat(self.tcfg.gen_bs_multiple),
+                 dummy["labels_biased"].repeat(self.tcfg.gen_bs_multiple), zg, self.confusion_actual)
+        preds = partition_predicates()
+        if self.acfg.algorithm != "rcgan-u":
+            preds = {k: v for k, v in preds.items() if k != "confusion"}
+        return init_train_state(ctx.params, ctx.updated_state(), preds, self.optimizers)
+
+    # ------------------------------------------------------- cycle body
+    def _cycle(self, ts: TrainState, d_batches: dict, g_labels: dict, iteration, rng, axis=None):
+        """Body run per device-shard.  ``d_batches`` leaves have leading dim
+        [n_critic, local_b]; ``g_labels`` leaves [gen_bs_multiple*local_b].
+        ``axis``: mesh axis name when running under shard_map, else None.
+        """
+        cfg, acfg, tcfg = self.cfg, self.acfg, self.tcfg
+
+        def pavg(tree):
+            if axis is None:
+                return tree
+            return jax.tree_util.tree_map(lambda x: jax.lax.pmean(x, axis), tree)
+
+        decay = lr_decay(iteration, tcfg.decay)
+        lr = tcfg.lr * decay
+        confuse_lr = tcfg.lr * tcfg.confuse_multiplier * (decay if tcfg.confuse_lr_decay else 1.0)
+
+        groups = dict(ts.groups)
+        state = ts.state
+        opt_states = dict(ts.opt_states)
+        has_c = "confusion" in groups
+
+        # ---------------- G step (+ C step), skipped at iteration 0
+        # (gan_resnet.py:928-934).
+        def g_step(operand):
+            groups, state, opt_states = operand
+            zg = jax.random.normal(
+                jax.random.fold_in(rng, 1), (g_labels["random"].shape[0], cfg.z_dim), jnp.float32
+            )
+
+            def g_loss_fn(g_params, c_params, state):
+                parts = [g for n, g in groups.items() if n not in ("gen", "confusion")]
+                ctx = Ctx(params=merge(*parts, g_params, c_params), state=state, rng=None,
+                          init=False, train=True, update_sn=True, compute_dtype=self.compute_dtype)
+                out = gen_loss(ctx, cfg, acfg, g_labels["random"], g_labels["biased"], zg,
+                               self.confusion_actual)
+                return out["gen_cost"], (out, ctx.updated_state())
+
+            c_group = groups.get("confusion", {})
+            (_, (g_out, state)), (g_grads, c_grads) = jax.value_and_grad(
+                g_loss_fn, argnums=(0, 1), has_aux=True
+            )(groups["gen"], c_group, state)
+            g_grads, c_grads = pavg((g_grads, c_grads))
+            state = pavg(state)
+            g_upd, opt_states["gen"] = self.optimizers["gen"].update(
+                g_grads, opt_states["gen"], groups["gen"]
+            )
+            groups["gen"] = apply_updates_with_lr(groups["gen"], g_upd, lr)
+            if has_c:
+                c_upd, opt_states["confusion"] = self.optimizers["confusion"].update(
+                    c_grads, opt_states["confusion"], c_group
+                )
+                groups["confusion"] = apply_updates_with_lr(c_group, c_upd, confuse_lr)
+            return (groups, state, opt_states), g_out["gen_cost"]
+
+        def g_skip(operand):
+            return operand, jnp.zeros(())
+
+        (groups, state, opt_states), gen_cost = jax.lax.cond(
+            iteration > 0, g_step, g_skip, (groups, state, opt_states)
+        )
+
+        # ---------------- N_CRITIC D steps over distinct micro-batches
+        # (gan_resnet.py:936-947), as a lax.scan inside the same program.
+        def d_step(carry, inp):
+            disc_params, d_opt_state, state = carry
+            batch, k = inp
+            kz, kq = jax.random.split(k)
+            real = dequantize_chw_to_hwc(batch["images"], kq, cfg.img_size, cfg.img_dim)
+            z = jax.random.normal(kz, (real.shape[0], cfg.z_dim), jnp.float32)
+            sb = {
+                "real_data": real,
+                "labels": batch["labels"],
+                "labels_random": batch["labels_random"],
+                "labels_biased": batch["labels_biased"],
+                "labels_inv_weights": batch["labels_inv_weights"],
+            }
+
+            def d_loss_fn(d_params, state):
+                parts = [g for n, g in groups.items() if n != "disc"]
+                ctx = Ctx(params=merge(*parts, d_params), state=state, rng=None, init=False,
+                          train=True, update_sn=True, compute_dtype=self.compute_dtype)
+                out = disc_loss(ctx, cfg, acfg, sb, z, self.confusion_actual)
+                return out["disc_cost"], (out, ctx.updated_state())
+
+            (_, (d_out, state)), d_grads = jax.value_and_grad(d_loss_fn, has_aux=True)(
+                disc_params, state
+            )
+            d_grads = pavg(d_grads)
+            state = pavg(state)
+            d_upd, d_opt_state = self.optimizers["disc"].update(d_grads, d_opt_state, disc_params)
+            disc_params = apply_updates_with_lr(disc_params, d_upd, lr)
+            return (disc_params, d_opt_state, state), d_out["disc_cost"]
+
+        keys = jax.random.split(jax.random.fold_in(rng, 2), tcfg.n_critic)
+        (groups["disc"], opt_states["disc"], state), d_costs = jax.lax.scan(
+            d_step, (groups["disc"], opt_states["disc"], state), (d_batches, keys)
+        )
+
+        metrics = {
+            "d_cost": d_costs[-1],
+            "d_cost_mean": jnp.mean(d_costs),
+            "g_cost": gen_cost,
+            "lr": lr,
+        }
+        if axis is not None:
+            metrics = {k: jax.lax.pmean(v, axis) for k, v in metrics.items()}
+        new_ts = TrainState(groups=groups, state=state, opt_states=opt_states, step=ts.step + 1)
+        return new_ts, metrics
+
+    # ---------------------------------------------------------- stepping
+    @functools.cached_property
+    def _jitted_cycle(self):
+        if self.mesh is None:
+            return jax.jit(lambda ts, db, gl, it, rng: self._cycle(ts, db, gl, it, rng, None),
+                           donate_argnums=0)
+
+        mesh = self.mesh
+        repl = P()
+        data2 = P(None, "data")  # [n_critic, batch] sharded on batch
+        data1 = P("data")
+
+        body = functools.partial(self._cycle)
+
+        def sharded(ts, d_batches, g_labels, iteration, rng):
+            return body(ts, d_batches, g_labels, iteration, rng, axis="data")
+
+        mapped = shard_map(
+            sharded,
+            mesh=mesh,
+            in_specs=(repl, data2, data1, repl, repl),
+            out_specs=(repl, repl),
+            check_rep=False,
+        )
+        return jax.jit(mapped, donate_argnums=0)
+
+    def step(self, ts: TrainState, d_batches: dict, g_labels: dict, iteration, rng):
+        """``d_batches``: dict of arrays with leading dims [n_critic, B];
+        ``g_labels``: {'random','biased'} int arrays [gen_bs_multiple*B]."""
+        return self._jitted_cycle(ts, d_batches, g_labels, jnp.asarray(iteration, jnp.int32), rng)
+
+    # ------------------------------------------------------------ sample
+    @functools.partial(jax.jit, static_argnums=0)
+    def sample(self, ts: TrainState, z: jax.Array, labels: jax.Array) -> jax.Array:
+        """Generator forward for eval/sampling.  Conditional batch-norm uses
+        batch statistics even here — reference semantics
+        (``normalization.py:47-58``)."""
+        ctx = Ctx(params=ts.params, state=ts.state, rng=None, init=False,
+                  train=True, update_sn=False, compute_dtype=self.compute_dtype)
+        return generator(ctx, self.cfg, z, labels).astype(jnp.float32)

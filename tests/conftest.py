@@ -1,0 +1,21 @@
+"""Test harness config: run everything on a virtual 8-device CPU mesh.
+
+This image's sitecustomize force-registers a remote TPU backend and sets
+``jax_platforms="axon,cpu"`` at interpreter start (overriding JAX_PLATFORMS),
+so we must re-override via jax.config AFTER import, and set XLA_FLAGS before
+the first backend initialization.
+"""
+
+import os
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+os.environ.setdefault("JAX_ENABLE_X64", "0")
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_default_matmul_precision", "highest")
+
+assert jax.default_backend() == "cpu", jax.default_backend()

