@@ -169,10 +169,15 @@ def main(argv=None):
             ts = restored
 
     metrics = MetricLogger()
+    from rcgan_tpu.utils.summary import SummaryWriter
+
+    tb = SummaryWriter(ckpt_dir)  # reference writes summaries to CHECKPOINT_DIR
     eval_cls = get_eval_classifier(train_split, flags.parent_dir)
 
-    d_iter = infinite_batches(train_split, batch_size, tcfg.n_critic)
-    g_iter = infinite_g_labels(train_split, batch_size, tcfg.gen_bs_multiple)
+    from rcgan_tpu.data.pipeline import Prefetcher
+
+    d_iter = Prefetcher(infinite_batches(train_split, batch_size, tcfg.n_critic), depth=2)
+    g_iter = Prefetcher(infinite_g_labels(train_split, batch_size, tcfg.gen_bs_multiple), depth=2)
 
     fixed_noise = jnp.asarray(np.random.RandomState(0).normal(size=(100, cfg.z_dim)).astype(np.float32))
     fixed_labels = jnp.asarray(np.repeat(np.arange(10), 10).astype(np.int32))
@@ -203,6 +208,10 @@ def main(argv=None):
         metrics.plot("d_cost", float(m["d_cost"]))
         metrics.plot("g_cost", float(m["g_cost"]))
         if iteration % 100 == 0:
+            tb.scalar("D_wgan_cost", m["d_cost"], iteration)
+            tb.scalar("G_wgan_cost", m["g_cost"], iteration)
+            tb.scalar("lr", m["lr"], iteration)
+        if iteration % 100 == 0:
             log.info("iter %d d_cost %.4f g_cost %.4f (%.3fs)", iteration,
                      float(m["d_cost"]), float(m["g_cost"]), time.time() - t0)
 
@@ -219,7 +228,27 @@ def main(argv=None):
             metrics.plot("inception_50k_max", inception_score_max)
             log.info("finished inception score computation.")
 
+        if flags.sample_save_freq and iteration % flags.sample_save_freq == flags.sample_save_freq - 1:
+            # periodic raw-sample dump (gan_resnet.py:969-973)
+            samples, _ = make_samples(10000)
+            np.save(os.path.join(run_path, f"_samples_{iteration}"), to_uint8_samples(samples))
+
         if iteration % flags.sample_freq == flags.sample_freq - 1:
+            # dev cost over the held-out split (gan_resnet.py:976-989)
+            dev_costs = []
+            for db in dev_split.epoch(batch_size):
+                images, labels, rand, biased, inv_w = db
+                batch = {
+                    "images": jnp.asarray(images.astype(np.int32)),
+                    "labels": jnp.asarray(labels.astype(np.int32)),
+                    "labels_random": jnp.asarray(rand.astype(np.int32)),
+                    "labels_biased": jnp.asarray(biased.astype(np.int32)),
+                    "labels_inv_weights": jnp.asarray(inv_w.astype(np.float32)),
+                }
+                rng, sub = jax.random.split(rng)
+                dev_costs.append(float(trainer.eval_disc_cost(ts, batch, sub)))
+            metrics.plot("dev_cost", float(np.mean(dev_costs)))
+
             samples = np.asarray(trainer.sample(ts, fixed_noise, fixed_labels))
             save_cifar_samples(samples, os.path.join(run_path, f"samples_{iteration}.png"))
 
@@ -245,6 +274,8 @@ def main(argv=None):
     acc = generated_label_accuracy(eval_cls, _to_cls_images(samples), labels, confusion_matrix=cm)
     metrics.plot("gen_label_acc", acc)
     metrics.dir_flush(run_path)
+    tb.flush()
+    tb.close()
     log.info("final generated label accuracy: %s", acc)
     return ts, acc
 

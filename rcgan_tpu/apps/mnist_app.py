@@ -85,6 +85,9 @@ def batch_dict(data: mnist_data.MnistData, idx, y_real=None, y_fake=None):
 
 def train(flags, trainer: MnistTrainer, ts, data: mnist_data.MnistData, ckpt: Checkpointer,
           sample_dir: str, eval_cls, metrics: MetricLogger):
+    from rcgan_tpu.utils.summary import SummaryWriter
+
+    tb = SummaryWriter(flags.logs_dir)
     bs = flags.batch_size
     n = min(len(data), int(flags.train_size) if np.isfinite(flags.train_size) else len(data))
     batch_idxs = n // bs
@@ -130,11 +133,24 @@ def train(flags, trainer: MnistTrainer, ts, data: mnist_data.MnistData, ckpt: Ch
             metrics.plot("d_loss", float(m["d_loss"]))
             metrics.plot("g_loss", float(m["g_loss"]))
             metrics.tick()
+            if counter % 50 == 1:  # tf.summary channel (mnist/model.py:268-272)
+                tb.scalar("d_loss", m["d_loss"], counter)
+                tb.scalar("g_loss", m["g_loss"], counter)
+                tb.scalar("d_loss_real", m["d_loss_real"], counter)
+                tb.scalar("d_loss_fake", m["d_loss_fake"], counter)
+                tb.scalar("class_loss_real", m["class_loss_real"], counter)
+                tb.scalar("class_loss_fake", m["class_loss_fake"], counter)
+                tb.histogram("d", m["prob_real"], counter)
+                tb.histogram("d_", m["prob_fake"], counter)
 
             if counter % 700 == 1:
                 samples = np.asarray(trainer.sample(ts, jnp.asarray(sample_z), sample_y))
                 save_images(samples, image_manifold_size(samples.shape[0]),
                             os.path.join(sample_dir, f"train_{epoch:02d}_{idx:04d}.png"))
+                from rcgan_tpu.utils.images import merge
+
+                tb.image("G", merge(samples, image_manifold_size(samples.shape[0]))[..., None],
+                         counter)
                 ckpt.save(counter, ts)
 
         if (epoch + 1) % 5 == 0:  # gen-label-acc every 5 epochs (model.py:473-491)
@@ -146,8 +162,10 @@ def train(flags, trainer: MnistTrainer, ts, data: mnist_data.MnistData, ckpt: Ch
                 accs.append(generated_label_accuracy(eval_cls, s, np.argmax(sample_y_np, -1)))
             acc = float(np.mean(accs))
             metrics.plot("gen_label_acc", acc)
+            tb.scalar("gen_label_acc", acc, counter)
             log.info("######EPOCH=%d, mean generated label accuracy=%s", epoch, acc)
 
+    tb.flush()
     return ts
 
 
@@ -181,8 +199,17 @@ def main(argv=None):
 
     cfg, acfg, tcfg = build_configs(flags)
     dtype = jnp.bfloat16 if flags.compute_dtype == "bfloat16" else jnp.float32
-    trainer = MnistTrainer(cfg, acfg, tcfg, data.confusion, compute_dtype=dtype)
+    n_mesh = flags.mesh_devices or len(jax.devices())
+    mesh = None
+    if n_mesh > 1:
+        from rcgan_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(n_mesh)
+    trainer = MnistTrainer(cfg, acfg, tcfg, data.confusion, mesh=mesh, compute_dtype=dtype)
     ts = trainer.init(jax.random.key(flags.seed), batch_dict(data, slice(0, flags.batch_size)))
+    from rcgan_tpu.utils.visualize import show_all_variables
+
+    show_all_variables(ts.params)  # parameter census (mnist/utils.py:21-23)
 
     ckpt = Checkpointer(os.path.join(run_path, "ckpt"))
     metrics = MetricLogger()
@@ -197,6 +224,14 @@ def main(argv=None):
     else:
         ts = restored
     metrics.dir_flush(run_path)
+
+    if flags.visualize:  # z-space walks (mnist/utils.py visualize)
+        from rcgan_tpu.utils.visualize import visualize
+
+        visualize(
+            lambda z, y: np.asarray(trainer.sample(ts, jnp.asarray(z), jnp.asarray(y))),
+            flags.z_dim, 10, flags.batch_size, os.path.join(run_path, "visualize"), option=2,
+        )
 
     # ---- label recovery always runs after training (mnist/main.py:142)
     rcfg = RecoverConfig(

@@ -83,6 +83,7 @@ def mnist_flags() -> FlagParser:
     p.define_string("compute_dtype", "bfloat16", "bfloat16|float32 compute")
     p.define_boolean("allow_synthetic", True, "Use synthetic data when files missing")
     p.define_integer("seed", 547, "Data shuffle seed")
+    p.define_integer("mesh_devices", 1, "Data-mesh size (1 = single device; 0 = all)")
     return p
 
 

@@ -70,9 +70,10 @@ def synthetic_cifar(n: int, seed: int = 0):
 
 def _make_split(images, labels_actual, alpha: float, seed: int) -> CifarSplit:
     c, c_inv = build_confusion(alpha, 10)
-    rs = np.random.RandomState(seed)
-    labels, labels_random, labels_biased, inv_w = corrupt_dataset_numpy(
-        rs, labels_actual, c, c_inv, real_match=False
+    from rcgan_tpu import native
+
+    labels, labels_random, labels_biased, inv_w = native.make_label_tuple(
+        seed, labels_actual.astype(np.int32), c, c_inv, real_match=False
     )
     return CifarSplit(
         images=images,

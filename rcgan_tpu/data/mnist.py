@@ -90,8 +90,10 @@ def load_mnist(
     x, y = x[perm], y[perm]
 
     c, c_inv = build_confusion(alpha, 10, class_depend)
-    y_real, y_gen, y_fake, y_w = corrupt_dataset_numpy(
-        np.random.RandomState(seed + 1), y, c, c_inv, real_match=real_match
+    from rcgan_tpu import native
+
+    y_real, y_gen, y_fake, y_w = native.make_label_tuple(
+        seed + 1, y.astype(np.int32), c, c_inv, real_match=real_match
     )
     return MnistData(
         x=(x.astype(np.float32) / 255.0),

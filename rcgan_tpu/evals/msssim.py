@@ -87,3 +87,26 @@ def msssim(img1, img2, max_val: float = 255.0, weights=_WEIGHTS) -> float:
     mcs = jnp.stack(mcs)
     w = jnp.asarray(weights)
     return float(jnp.prod(mcs[:-1] ** w[:-1]) * (mssim[-1] ** w[-1]))
+
+
+def _main():
+    """CLI parity with ``python msssim.py --original_image a.png
+    --compared_image b.png`` (``cifar10/common/msssim.py:36-218``)."""
+    import argparse
+
+    import numpy as np
+    from PIL import Image
+
+    p = argparse.ArgumentParser(description="MS-SSIM between two images")
+    p.add_argument("--original_image", required=True)
+    p.add_argument("--compared_image", required=True)
+    args = p.parse_args()
+    a = np.asarray(Image.open(args.original_image).convert("RGB"), np.float32)[None]
+    b = np.asarray(Image.open(args.compared_image).convert("RGB"), np.float32)[None]
+    if a.shape != b.shape:
+        raise SystemExit(f"image shapes differ: {a.shape[1:3]} vs {b.shape[1:3]}")
+    print(msssim(a, b))
+
+
+if __name__ == "__main__":
+    _main()

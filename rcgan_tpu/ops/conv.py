@@ -164,6 +164,56 @@ def _pixelcnn_mask(mask_type, filter_size, input_dim, output_dim):
     return mask
 
 
+def conv1d_lib(
+    ctx: Ctx,
+    x: jax.Array,
+    input_dim: int,
+    output_dim: int,
+    filter_size: int = 3,
+    stride: int = 1,
+    name: str = "Conv1D",
+    padding: str = "SAME",
+    mask_type=None,
+    spectral_normed: bool = False,
+    he_init: bool = True,
+    biases: bool = True,
+    gain: float = 1.0,
+):
+    """1-D conv with the optional causal PixelCNN-style mask
+    (``cifar10/common/ops/conv1d.py:16-116``).  ``x``: [B, W, C]."""
+    init = inits.conv_uniform(stride=stride, he=he_init, gain=gain)
+
+    def init1d(key, shape, dtype):
+        k, cin, cout = shape
+        w = init(key, (1, k, cin, cout), dtype)
+        return w[0]
+
+    w = ctx.param(name, "Filters", (filter_size, input_dim, output_dim), init1d)
+    if mask_type is not None:
+        mtype, n = mask_type
+        mask = np.ones((filter_size, input_dim, output_dim), np.float32)
+        c = filter_size // 2
+        mask[c + 1 :, :, :] = 0.0
+        for i in range(n):
+            for j in range(n):
+                if (mtype == "a" and i >= j) or (mtype == "b" and i > j):
+                    mask[c, i::n, j::n] = 0.0
+        w = w * jnp.asarray(mask)
+    if spectral_normed:
+        w = spectral_normed_weight(ctx, name, w)
+    out = jax.lax.conv_general_dilated(
+        x.astype(ctx.compute_dtype),
+        w.astype(ctx.compute_dtype),
+        window_strides=(stride,),
+        padding=padding,
+        dimension_numbers=("NWC", "WIO", "NWC"),
+    )
+    if biases:
+        b = ctx.param(name, "Biases", (output_dim,), inits.zeros)
+        out = out + b.astype(out.dtype)
+    return out
+
+
 def conv_cond_concat(x: jax.Array, y: jax.Array) -> jax.Array:
     """Concat a per-example label vector onto every spatial position
     (``mnist/ops.py:46-51``).  ``y`` is ``[B, y_dim]`` or ``[B,1,1,y_dim]``."""

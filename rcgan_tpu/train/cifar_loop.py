@@ -233,6 +233,21 @@ class CifarTrainer:
         ``g_labels``: {'random','biased'} int arrays [gen_bs_multiple*B]."""
         return self._jitted_cycle(ts, d_batches, g_labels, jnp.asarray(iteration, jnp.int32), rng)
 
+    # -------------------------------------------------------------- eval
+    @functools.partial(jax.jit, static_argnums=0)
+    def eval_disc_cost(self, ts: TrainState, batch: dict, rng: jax.Array) -> jax.Array:
+        """Discriminator cost on a held-out batch without any updates — the
+        dev-cost eval of ``gan_resnet.py:976-989``."""
+        kq, kz = jax.random.split(rng)
+        real = dequantize_chw_to_hwc(batch["images"], kq, self.cfg.img_size, self.cfg.img_dim)
+        z = jax.random.normal(kz, (real.shape[0], self.cfg.z_dim), jnp.float32)
+        sb = dict(batch, real_data=real)
+        sb.pop("images", None)
+        ctx = Ctx(params=ts.params, state=ts.state, rng=None, init=False,
+                  train=True, update_sn=False, compute_dtype=self.compute_dtype)
+        out = disc_loss(ctx, self.cfg, self.acfg, sb, z, self.confusion_actual)
+        return out["disc_cost"]
+
     # ------------------------------------------------------------ sample
     @functools.partial(jax.jit, static_argnums=0)
     def sample(self, ts: TrainState, z: jax.Array, labels: jax.Array) -> jax.Array:

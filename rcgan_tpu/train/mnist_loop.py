@@ -53,10 +53,12 @@ class MnistTrainer:
         acfg: MnistAlgoConfig,
         tcfg: MnistTrainConfig,
         confusion_actual: np.ndarray,
+        mesh=None,
         compute_dtype=jnp.float32,
     ):
         self.cfg, self.acfg, self.tcfg = cfg, acfg, tcfg
         self.confusion_actual = jnp.asarray(confusion_actual, jnp.float32)
+        self.mesh = mesh
         self.compute_dtype = compute_dtype
         self.optimizers = {
             "disc": scaleless_adam(tcfg.beta1, 0.999),
@@ -77,12 +79,21 @@ class MnistTrainer:
         return init_train_state(ctx.params, ctx.updated_state(), preds, self.optimizers)
 
     # -------------------------------------------------------------- step
-    @functools.partial(jax.jit, static_argnums=0, donate_argnums=1)
-    def step(self, ts: TrainState, batch: dict, rng: jax.Array) -> tuple:
+    def _step(self, ts: TrainState, batch: dict, rng: jax.Array, axis=None) -> tuple:
         """One reference iteration: D update, then g_steps x (G+C update),
-        all with the same z (``mnist/model.py:342-372``)."""
+        all with the same z (``mnist/model.py:342-372``).  ``axis`` names the
+        shard_map data axis when running data-parallel."""
         cfg, acfg, tcfg = self.cfg, self.acfg, self.tcfg
         lr = tcfg.learning_rate
+        if axis is not None:
+            # distinct z per shard, same across replicas of the step
+            rng = jax.random.fold_in(rng, jax.lax.axis_index(axis))
+
+        def pavg(tree):
+            if axis is None:
+                return tree
+            return jax.tree_util.tree_map(lambda x: jax.lax.pmean(x, axis), tree)
+
         z = jax.random.uniform(
             jax.random.fold_in(rng, 0), (batch["images"].shape[0], cfg.z_dim), jnp.float32, -1.0, 1.0
         )
@@ -101,6 +112,8 @@ class MnistTrainer:
         (d_total, (d_out, state)), d_grads = jax.value_and_grad(d_loss_fn, has_aux=True)(
             groups["disc"], state
         )
+        d_grads = pavg(d_grads)
+        state = pavg(state)
         d_upd, opt_states["disc"] = self.optimizers["disc"].update(
             d_grads, opt_states["disc"], groups["disc"]
         )
@@ -126,6 +139,8 @@ class MnistTrainer:
             (_, (g_out, state)), (g_grads, c_grads) = jax.value_and_grad(
                 g_loss_fn, argnums=(0, 1), has_aux=True
             )(groups["gen"], c_group, state)
+            g_grads, c_grads = pavg((g_grads, c_grads))
+            state = pavg(state)
             g_upd, opt_states["gen"] = self.optimizers["gen"].update(
                 g_grads, opt_states["gen"], groups["gen"]
             )
@@ -151,8 +166,42 @@ class MnistTrainer:
             "prob_fake": g_out["D_"],
             "confusion": g_out["confusion"],
         }
+        if axis is not None:
+            scalars = {k: jax.lax.pmean(v, axis) for k, v in metrics.items()
+                       if k not in ("prob_real", "prob_fake")}
+            metrics.update(scalars)
         new_ts = TrainState(groups=groups, state=state, opt_states=opt_states, step=ts.step + 1)
         return new_ts, metrics
+
+    @functools.cached_property
+    def _jitted_step(self):
+        if self.mesh is None:
+            return jax.jit(
+                lambda ts, batch, rng: self._step(ts, batch, rng, None), donate_argnums=0
+            )
+        from jax.experimental.shard_map import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        def sharded(ts, batch, rng):
+            return self._step(ts, batch, rng, axis="data")
+
+        repl, data = P(), P("data")
+        metric_specs = {
+            "d_loss": repl, "d_loss_real": repl, "d_loss_fake": repl, "g_loss": repl,
+            "class_loss_real": repl, "class_loss_fake": repl,
+            "prob_real": data, "prob_fake": data, "confusion": repl,
+        }
+        mapped = shard_map(
+            sharded,
+            mesh=self.mesh,
+            in_specs=(repl, data, repl),
+            out_specs=(repl, metric_specs),
+            check_rep=False,
+        )
+        return jax.jit(mapped, donate_argnums=0)
+
+    def step(self, ts: TrainState, batch: dict, rng: jax.Array) -> tuple:
+        return self._jitted_step(ts, batch, rng)
 
     # ------------------------------------------------------------ sample
     @functools.partial(jax.jit, static_argnums=0)

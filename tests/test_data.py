@@ -1,0 +1,86 @@
+"""Data-layer tests: loaders (synthetic fallback), epoch protocol, sharded
+input, noise schedule, imagenet helpers."""
+
+import numpy as np
+
+from rcgan_tpu.data import cifar10 as cifar_data
+from rcgan_tpu.data import mnist as mnist_data
+from rcgan_tpu.data.confusion import one_coin_matrix
+from rcgan_tpu.data.imagenet import center_crop_resize, image_folder_generator
+
+
+def test_mnist_loader_synthetic():
+    d = mnist_data.load_mnist("/nonexistent", alpha=0.7, allow_synthetic=True)
+    assert d.x.shape == (70000, 28, 28, 1)
+    assert d.x.min() >= 0 and d.x.max() <= 1
+    np.testing.assert_allclose((d.y_real == d.y_actual).mean(), 0.7, atol=0.01)
+    np.testing.assert_allclose(d.y_real_weights[5], d.confusion_inv[d.y_real[5]], rtol=1e-5)
+
+
+def test_mnist_real_match():
+    d = mnist_data.load_mnist("/nonexistent", alpha=0.7, real_match=True)
+    np.testing.assert_array_equal(d.y_gen, d.y_real)
+
+
+def test_mnist_noise_schedule():
+    # before noise_start: constant at relative alpha_start; after end: 1.0
+    a0 = mnist_data.noise_schedule_alpha(0, alpha=0.125, noise_alpha=0.3,
+                                         noise_start=30, noise_end=80)
+    a_mid = mnist_data.noise_schedule_alpha(50, alpha=0.125, noise_alpha=0.3,
+                                            noise_start=30, noise_end=80)
+    a_end = mnist_data.noise_schedule_alpha(95, alpha=0.125, noise_alpha=0.3,
+                                            noise_start=30, noise_end=80)
+    assert 0 < a0 <= 1.0 and a0 <= a_mid <= a_end == 1.0
+
+
+def test_mnist_renoise_changes_labels():
+    d = mnist_data.load_mnist("/nonexistent", alpha=0.7)
+    noise_c = one_coin_matrix(0.5, 10)
+    y_real2, y_fake2 = mnist_data.renoise_labels(np.random.RandomState(0), d, noise_c)
+    agree = (y_real2 == d.y_real).mean()
+    np.testing.assert_allclose(agree, 0.5, atol=0.01)
+
+
+def test_cifar_loader_and_epoch_protocol():
+    train, dev = cifar_data.load("/nonexistent", alpha=0.6, synthetic_train_size=512,
+                                 synthetic_test_size=128)
+    assert train.images.shape == (512, 3072) and train.images.dtype == np.uint8
+    batches = list(train.epoch(64))
+    assert len(batches) == 8
+    imgs, labels, rand, biased, inv_w = batches[0]
+    assert imgs.shape == (64, 3072) and inv_w.shape == (64, 10)
+
+    # host-sharded input: shard (i, 2) splits each batch contiguously
+    s0 = list(train.epoch(64, shard=(0, 2)))[0]
+    s1 = list(train.epoch(64, shard=(1, 2)))[0]
+    np.testing.assert_array_equal(np.concatenate([s0[0], s1[0]]), imgs)
+
+
+def test_dequantize_on_device():
+    import jax
+    import jax.numpy as jnp
+
+    x = jnp.asarray(np.random.RandomState(0).randint(0, 256, (4, 3072)), jnp.int32)
+    out = cifar_data.dequantize_chw_to_hwc(x, jax.random.key(0))
+    assert out.shape == (4, 3072)
+    o = np.asarray(out)
+    assert o.min() >= -1.0 and o.max() < 1.0 + 1 / 128
+
+
+def test_center_crop_resize_and_image_folder(tmp_path):
+    from PIL import Image
+
+    img = (np.random.RandomState(0).rand(48, 64, 3) * 255).astype(np.uint8)
+    out = center_crop_resize(img, 32)
+    assert out.shape == (32, 32, 3)
+
+    for cls in ("cat", "dog"):
+        d = tmp_path / cls
+        d.mkdir()
+        for i in range(3):
+            Image.fromarray(img).save(str(d / f"{i}.png"))
+    gen, classes = image_folder_generator(str(tmp_path), batch_size=2, size=16)
+    assert classes == ["cat", "dog"]
+    imgs, labels = next(gen())
+    assert imgs.shape == (2, 16, 16, 3)
+    assert set(np.unique(labels)) <= {0, 1}

@@ -92,3 +92,31 @@ def test_sharded_matches_single_device_losses():
     # allow a loose tolerance — this guards wiring (psum/averaging) bugs,
     # which produce O(1) discrepancies, not O(0.1).
     assert abs(float(m_sh["d_cost"]) - float(m_1["d_cost"])) < 0.5
+
+
+def test_mnist_sharded_step_runs():
+    from rcgan_tpu.algorithms.mnist import MnistAlgoConfig
+    from rcgan_tpu.models.dcgan import DCGANConfig
+    from rcgan_tpu.train.mnist_loop import MnistTrainer, MnistTrainConfig
+
+    mesh = make_mesh(4)
+    cfg = DCGANConfig(batch_size=8, z_dim=8, gf_dim=4, df_dim=4, gfc_dim=16, dfc_dim=16,
+                      disc_type="projection", spectral_norm=True, max_norm=True)
+    acfg = MnistAlgoConfig(algorithm="rcgan", estimate_confuse=True, perm_regularizer=True,
+                           loss_fn="hinge")
+    c, _ = build_confusion(0.7, 10)
+    tr = MnistTrainer(cfg, acfg, MnistTrainConfig(), c, mesh=mesh)
+    rs = np.random.RandomState(0)
+    batch = {
+        "images": jnp.asarray(rs.rand(8, 28, 28, 1).astype(np.float32)),
+        "y_real": jnp.asarray(rs.randint(10, size=8)),
+        "y_gen": jnp.asarray(rs.randint(10, size=8)),
+        "y_fake": jnp.asarray(rs.randint(10, size=8)),
+        "y_real_weights": jnp.asarray(rs.rand(8, 10).astype(np.float32)),
+    }
+    ts = tr.init(jax.random.key(0), batch)
+    ts, m = tr.step(ts, batch, jax.random.key(1))
+    assert np.isfinite(float(m["d_loss"])) and np.isfinite(float(m["g_loss"]))
+    assert m["prob_real"].shape == (8,)
+    ts, m = tr.step(ts, batch, jax.random.key(2))
+    assert np.isfinite(float(m["d_loss"]))
