@@ -76,6 +76,25 @@ def g_loss(logits, loss_type: str, soft_plus: bool = False):
     raise ValueError(f"Unknown loss_type {loss_type!r}")
 
 
+def get_loss(disc_real, disc_fake, loss_type: str = "HINGE", soft_plus: bool = False,
+             d_apply=None, real=None, fake=None, key=None):
+    """(gen_cost, disc_cost) pairs for the vendored loss zoo
+    (``cifar10/common/misc.py`` get_loss: HINGE/WGAN/WGAN-GP/LSGAN/CGAN/
+    MiniMax).  ``WGAN-GP`` needs ``d_apply``/``real``/``fake``/``key`` for
+    the gradient penalty."""
+    lt = loss_type.lower()
+    if lt == "cgan":
+        lt = "goodfellow"  # conditional GAN uses the standard CE objective
+    gen_cost = jnp.mean(g_loss(disc_fake, lt, soft_plus))
+    disc_cost = jnp.mean(d_real_loss(disc_real, lt, soft_plus)) + jnp.mean(
+        d_fake_loss(disc_fake, lt, soft_plus)
+    )
+    if loss_type.upper() == "WGAN-GP":
+        assert d_apply is not None and real is not None and fake is not None and key is not None
+        disc_cost = disc_cost + wgan_gp_penalty(d_apply, real, fake, key)
+    return gen_cost, disc_cost
+
+
 def wgan_gp_penalty(d_apply, real, fake, key, lamb: float = 10.0):
     """Gradient penalty for WGAN-GP (vendored loss zoo,
     ``cifar10/common/misc.py`` get_loss): E[(||∇D(x̂)||₂ − 1)²] on random

@@ -66,7 +66,7 @@ def build_configs(flags, n_devices: int):
     return cfg, acfg, tcfg, batch_size, iters
 
 
-def get_eval_classifier(train_split, cache_dir: str):
+def get_eval_classifier(train_split, cache_dir: str, train_size: int = 20000):
     """Stand-in for the frozen ResNet-110 scorer, trained on clean labels."""
     cls = cifar_classifier()
     path = os.path.join(cache_dir, "cifar_eval_classifier.pkl")
@@ -75,7 +75,8 @@ def get_eval_classifier(train_split, cache_dir: str):
         imgs = train_split.images.astype(np.float32)
         imgs = 2.0 * (imgs / 255.0 - 0.5)
         imgs = imgs.reshape(-1, 3, 32, 32).transpose(0, 2, 3, 1)
-        cls.train(jax.random.key(321), imgs[:20000], train_split.labels_actual[:20000], epochs=1)
+        cls.train(jax.random.key(321), imgs[:train_size], train_split.labels_actual[:train_size],
+                  epochs=1)
         os.makedirs(cache_dir, exist_ok=True)
         cls.save(path)
     return cls
@@ -154,7 +155,9 @@ def main(argv=None):
              flags.alpha, run_path, n_devices, batch_size, iters)
 
     train_split, dev_split = cifar_data.load(
-        flags.data_dir, flags.alpha, allow_synthetic=flags.allow_synthetic
+        flags.data_dir, flags.alpha, allow_synthetic=flags.allow_synthetic,
+        synthetic_train_size=flags.synthetic_train_size,
+        synthetic_test_size=max(flags.batch_size, flags.synthetic_train_size // 5),
     )
 
     dtype = jnp.bfloat16 if flags.compute_dtype == "bfloat16" else jnp.float32
@@ -172,7 +175,7 @@ def main(argv=None):
     from rcgan_tpu.utils.summary import SummaryWriter
 
     tb = SummaryWriter(ckpt_dir)  # reference writes summaries to CHECKPOINT_DIR
-    eval_cls = get_eval_classifier(train_split, flags.parent_dir)
+    eval_cls = get_eval_classifier(train_split, flags.parent_dir, flags.eval_train_size)
 
     from rcgan_tpu.data.pipeline import Prefetcher
 

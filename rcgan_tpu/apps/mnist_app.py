@@ -58,14 +58,14 @@ def build_configs(flags):
     return cfg, acfg, tcfg
 
 
-def get_eval_classifier(data: mnist_data.MnistData, cache_dir: str):
+def get_eval_classifier(data: mnist_data.MnistData, cache_dir: str, train_size: int = 60000):
     """Train-once-and-cache stand-in for the missing frozen ``mnist_dcnn``
     classifier (SURVEY §2 M10)."""
     cls = mnist_classifier()
     path = os.path.join(cache_dir, "mnist_eval_classifier.pkl")
     if not cls.load(path):
         log.info("training MNIST eval classifier (one-time)...")
-        cls.train(jax.random.key(123), data.x[:60000], data.y_actual[:60000], epochs=1)
+        cls.train(jax.random.key(123), data.x[:train_size], data.y_actual[:train_size], epochs=1)
         os.makedirs(cache_dir, exist_ok=True)
         cls.save(path)
     return cls
@@ -213,7 +213,7 @@ def main(argv=None):
 
     ckpt = Checkpointer(os.path.join(run_path, "ckpt"))
     metrics = MetricLogger()
-    eval_cls = get_eval_classifier(data, flags.checkpoint_dir)
+    eval_cls = get_eval_classifier(data, flags.checkpoint_dir, flags.eval_train_size)
 
     restored = ckpt.restore(ts)
     if flags.train or restored is None:
@@ -253,6 +253,14 @@ def main(argv=None):
     log.info("label recovery accuracy: %s", rec_metrics["accuracy"])
     with open(os.path.join(run_path, "recovery.txt"), "w") as f:
         f.write(f"accuracy {rec_metrics['accuracy']}\n")
+    from rcgan_tpu.evals.recover import render_wrong_image_diagnostics
+
+    render_wrong_image_diagnostics(
+        lambda z, y: np.asarray(trainer.sample(ts, jnp.asarray(z), jnp.asarray(y))),
+        data.x[pick], data.y_actual[pick],
+        rec_metrics["y_recover"], rec_metrics["z_recover"],
+        os.path.join(run_path, "recover_wrong_images.png"),
+    )
     return ts, rec_metrics
 
 

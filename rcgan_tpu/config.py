@@ -84,6 +84,7 @@ def mnist_flags() -> FlagParser:
     p.define_boolean("allow_synthetic", True, "Use synthetic data when files missing")
     p.define_integer("seed", 547, "Data shuffle seed")
     p.define_integer("mesh_devices", 1, "Data-mesh size (1 = single device; 0 = all)")
+    p.define_integer("eval_train_size", 60000, "Eval-classifier training examples")
     return p
 
 
@@ -134,6 +135,8 @@ def cifar_flags() -> FlagParser:
     p.define_string("compute_dtype", "bfloat16", "bfloat16|float32 compute")
     p.define_boolean("allow_synthetic", True, "Use synthetic data when files missing")
     p.define_integer("mesh_devices", 0, "Data-mesh size (0 = all local devices)")
+    p.define_integer("eval_train_size", 20000, "Eval-classifier training examples")
+    p.define_integer("synthetic_train_size", 50000, "Synthetic dataset size")
     return p
 
 

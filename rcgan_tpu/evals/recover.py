@@ -84,5 +84,52 @@ def recover_labels(
         "mse": np.asarray(mses),
         "zero_one": np.asarray(zero_ones),
         "accuracy": float((recovered == np.asarray(y_actual)).mean()),
+        "y_recover": np.asarray(jax.nn.softmax(y_logits, axis=-1)),
+        "z_recover": np.asarray(z),
     }
     return recovered, metrics
+
+
+def render_wrong_image_diagnostics(
+    sampler,
+    images: np.ndarray,
+    y_actual: np.ndarray,
+    y_recover: np.ndarray,
+    z_recover: np.ndarray,
+    out_path: str,
+    n_wrong: int = 15,
+):
+    """The reference's wrong-image diagnostic panel
+    (``mnist/model.py:550-596``): for the ``n_wrong`` examples with the
+    largest |softmax(y_recover) − onehot(y_actual)| gap, render
+    [true-label bar | real image | best reconstructed image | recovered bar]
+    side by side as one PNG."""
+    from PIL import Image
+
+    b, y_dim = y_recover.shape
+    gap = np.abs(y_recover - np.eye(y_dim)[y_actual]).sum(axis=-1)
+    idx = np.argsort(-gap)[:n_wrong]
+
+    h, w = images.shape[1:3]
+
+    def bar(probs):
+        # horizontal bar chart: one row band per class, filled ∝ probability
+        img = np.zeros((h, 50), np.float32)
+        band = max(1, h // y_dim)
+        for k, p in enumerate(probs):
+            img[k * band : (k + 1) * band, : int(round(p * 50))] = 1.0
+        return img
+
+    rows = []
+    for i in idx:
+        best_k = int(np.argmax(y_recover[i]))
+        z = z_recover.reshape(b, y_dim, -1)[i, best_k][None]
+        y = np.eye(y_dim, dtype=np.float32)[best_k][None]
+        recon = np.asarray(sampler(z, y))[0, ..., 0]
+        real = images[i, ..., 0]
+        true_bar = bar(np.eye(y_dim)[y_actual[i]])
+        rec_bar = bar(y_recover[i])
+        rows.append(np.concatenate([true_bar, real, recon, rec_bar], axis=1))
+    panel = np.concatenate(rows, axis=0)
+    Image.fromarray((np.clip(panel, 0, 1) * 255).astype(np.uint8)).save(out_path)
+    return panel

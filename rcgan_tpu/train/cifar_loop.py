@@ -20,7 +20,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from rcgan_tpu.core.module import Ctx, merge
 from rcgan_tpu.algorithms.cifar import (

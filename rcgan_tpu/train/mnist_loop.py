@@ -179,7 +179,7 @@ class MnistTrainer:
             return jax.jit(
                 lambda ts, batch, rng: self._step(ts, batch, rng, None), donate_argnums=0
             )
-        from jax.experimental.shard_map import shard_map
+        from jax import shard_map
         from jax.sharding import PartitionSpec as P
 
         def sharded(ts, batch, rng):
