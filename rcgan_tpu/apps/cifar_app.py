@@ -197,11 +197,19 @@ def main(argv=None):
             labels.append(np.asarray(lab))
         return np.concatenate(outs), np.concatenate(labels)
 
+    from rcgan_tpu.train.failures import PreemptionGuard, maybe_inject_fault
+
     start_iter = int(ts.step)
     inception_score_max = 0.0
     gen_label_acc_max = 0.0
     rng = jax.random.key(42)
+    guard = PreemptionGuard()
     for iteration in range(start_iter, iters):
+        if guard.should_stop():
+            log.warning("preemption requested: checkpointing at iter %d and exiting", iteration)
+            ckpt.save(iteration, ts)
+            break
+        maybe_inject_fault(iteration)
         t0 = time.time()
         d_batches = next(d_iter)
         g_labels = next(g_iter)

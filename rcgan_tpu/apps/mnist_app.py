@@ -99,9 +99,16 @@ def train(flags, trainer: MnistTrainer, ts, data: mnist_data.MnistData, ckpt: Ch
     sample_labels = data.y_gen[np.concatenate(per_class)[:bs]]
     sample_y = jnp.asarray(np.eye(10, dtype=np.float32)[sample_labels])
 
+    from rcgan_tpu.train.failures import PreemptionGuard
+
+    guard = PreemptionGuard()
     counter = 1
     start = time.time()
     for epoch in range(flags.epoch):
+        if guard.should_stop():
+            log.warning("preemption requested: checkpointing at epoch %d and exiting", epoch)
+            ckpt.save(counter, ts)
+            break
         y_real_ep, y_fake_ep = data.y_real, data.y_fake
         if flags.add_noise:  # RCGAN+y annealed re-noising (mnist/model.py:293-333)
             rel_alpha = mnist_data.noise_schedule_alpha(

@@ -1,0 +1,81 @@
+"""Failure handling (preemption guard, fault injection, resume) and the
+serving sampler."""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from rcgan_tpu.train.failures import PreemptionGuard, fault_injection_step, maybe_inject_fault
+
+
+def test_preemption_guard_flow():
+    calls = []
+    g = PreemptionGuard(save_fn=lambda: calls.append(1), install=False)
+    assert not g.should_stop()
+    g.request_stop()
+    assert g.should_stop()
+    g.finalize()
+    g.finalize()
+    assert calls == [1]  # idempotent
+
+
+def test_fault_injection(monkeypatch):
+    monkeypatch.setenv("RCGAN_FAULT_AT_STEP", "3")
+    assert fault_injection_step() == 3
+    maybe_inject_fault(2)
+    with pytest.raises(RuntimeError):
+        maybe_inject_fault(3)
+    monkeypatch.delenv("RCGAN_FAULT_AT_STEP")
+    assert fault_injection_step() is None
+
+
+def test_cifar_resume_after_injected_fault(tmp_path, monkeypatch):
+    """Crash at iter 1 via fault injection, relaunch, confirm auto-resume
+    continues from the checkpoint (the reference's RESTORE path)."""
+    from rcgan_tpu.apps.cifar_app import main
+
+    args = [
+        "--algorithm", "biased", "--alpha", "0.6", "--run", "f",
+        "--log_file", str(tmp_path / "log.txt"), "--parent_dir", str(tmp_path),
+        "--expt_dir", "run",  # fixed dir so the relaunch finds the checkpoint
+        "--niters", "3", "--batch_size", "8", "--dim_g", "8", "--dim_d", "8",
+        "--embedding_dim", "12", "--n_critic", "1",
+        "--inception_freq", "1000000", "--sample_freq", "1000000",
+        "--generated_label_accuracy_freq", "1000000",
+        "--mesh_devices", "1", "--nomulti_gpu_multi_batch",
+        "--eval_train_size", "128", "--synthetic_train_size", "256",
+        "--compute_dtype", "float32",
+    ]
+    monkeypatch.setenv("RCGAN_FAULT_AT_STEP", "1")
+    with pytest.raises(RuntimeError, match="injected fault"):
+        main(args)
+    monkeypatch.delenv("RCGAN_FAULT_AT_STEP")
+    # checkpoint for iter 0 exists (first-500-iters cadence)
+    assert os.path.exists(str(tmp_path / "run" / "checkpoint"))
+    ts, acc = main(args)  # auto-resume: restores step>=1 and finishes
+    assert int(ts.step) == 3
+
+
+def test_serving_sampler_roundtrip(tmp_path):
+    from rcgan_tpu.algorithms.cifar import CifarAlgoConfig
+    from rcgan_tpu.data.confusion import one_coin_matrix
+    from rcgan_tpu.models.resnet_gan import ResnetGANConfig
+    from rcgan_tpu.serving import Sampler
+    from rcgan_tpu.train.checkpoint import Checkpointer
+    from rcgan_tpu.train.cifar_loop import CifarTrainer, CifarTrainConfig
+
+    cfg = ResnetGANConfig(dim_g=8, dim_d=8, embedding_dim=12)
+    tr = CifarTrainer(cfg, CifarAlgoConfig(), CifarTrainConfig(), one_coin_matrix(0.6, 10))
+    ts = tr.init(jax.random.key(0), 4)
+    ck = Checkpointer(str(tmp_path))
+    ck.save(0, ts)
+
+    s = Sampler.from_checkpoint("cifar", str(tmp_path), batch=10,
+                                dim_g=8, dim_d=8, embedding_dim=12)
+    imgs = s.sample([0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 0, 1])  # ragged (12 > batch 10)
+    assert imgs.shape == (12, 32, 32, 3)
+    assert np.abs(imgs).max() <= 1.0
