@@ -23,9 +23,13 @@ def _kernel(seed_ref, x_ref, out_ref):
     pltpu.prng_seed(seed_ref[0])
     x = x_ref[:].astype(jnp.float32)  # [B, 3072] CHW-flat
     x = 2.0 * (x / 256.0 - 0.5)
+    # prng_random_bits yields signed int32 on TPU; a plain >> would
+    # arithmetic-shift the sign bit (noise centered at 0 instead of
+    # [0, 1/128)), and uint32→f32 casts are unsupported in Mosaic — use a
+    # logical shift on the int32 bits, which lands in [0, 2^24).
     bits = pltpu.prng_random_bits(x.shape)
-    # uniform in [0, 1/128): take 24 mantissa-ish bits / 2^24 / 128
-    u = (bits >> 8).astype(jnp.float32) * (1.0 / (1 << 24) / 128.0)
+    u24 = jax.lax.shift_right_logical(bits, 8)
+    u = u24.astype(jnp.float32) * (1.0 / (1 << 24) / 128.0)
     out_ref[:] = x + u
 
 

@@ -77,17 +77,15 @@ def cond_batchnorm_fused(x, scale_e, offset_e, eps=1e-5):
 
 
 def _fwd(x, scale_e, offset_e, eps):
-    x32 = x.astype(jnp.float32)
-    out, mean, var = _cond_bn_fwd_pallas(x32, scale_e, offset_e, eps)
-    return out, (x32, scale_e, mean, var)
+    out, mean, var = _cond_bn_fwd_pallas(x.astype(jnp.float32), scale_e, offset_e, eps)
+    return out, (x, scale_e, mean, var)
 
 
 def _bwd(eps, res, g):
     x, scale_e, mean, var = res
-    b, s, c = x.shape
-    n = b * s
+    x32 = x.astype(jnp.float32)
     inv = jax.lax.rsqrt(var + eps)  # [1, C]
-    xhat = (x - mean[:, None, :]) * inv[:, None, :]
+    xhat = (x32 - mean[:, None, :]) * inv[:, None, :]
     g = g.astype(jnp.float32)
 
     dscale = jnp.sum(g * xhat, axis=1)  # [B, C]
@@ -97,18 +95,36 @@ def _bwd(eps, res, g):
     m1 = jnp.mean(dxhat, axis=(0, 1), keepdims=True)
     m2 = jnp.mean(dxhat * xhat, axis=(0, 1), keepdims=True)
     dx = inv[:, None, :] * (dxhat - m1 - xhat * m2)
-    del n
-    return dx, dscale, doffset
+    # cotangents must match the primal dtypes (bf16 activations etc.)
+    return (
+        dx.astype(x.dtype),
+        dscale.astype(scale_e.dtype),
+        doffset.astype(scale_e.dtype),
+    )
 
 
 cond_batchnorm_fused.defvjp(_fwd, _bwd)
 
 
+# The kernel holds a [B, S, tile_c] block in VMEM per grid step; past this
+# budget (f32 bytes) we fall back to the XLA-fused jnp math — same numerics.
+_VMEM_BLOCK_BUDGET = 6 * 1024 * 1024
+
+
 def cond_batchnorm_bhwc(x, labels, scale_table, offset_table, eps=1e-5):
     """BHWC convenience wrapper: gather per-example affine, run the fused
-    kernel, restore shape.  Drop-in for ``ops.norm.cond_batchnorm``'s math."""
+    kernel (when the block fits VMEM), restore shape.  Drop-in for
+    ``ops.norm.cond_batchnorm``'s math."""
     bsz, h, w, c = x.shape
     scale_e = jnp.take(scale_table, labels, axis=0)
     offset_e = jnp.take(offset_table, labels, axis=0)
+    tile_c = min(c, 256)
+    if bsz * h * w * tile_c * 4 > _VMEM_BLOCK_BUDGET or c % tile_c:
+        x32 = x.astype(jnp.float32)
+        mean = jnp.mean(x32, axis=(0, 1, 2), keepdims=True)
+        var = jnp.mean(jnp.square(x32 - mean), axis=(0, 1, 2), keepdims=True)
+        out = (x32 - mean) * jax.lax.rsqrt(var + eps)
+        out = out * scale_e[:, None, None, :] + offset_e[:, None, None, :]
+        return out.astype(x.dtype)
     out = cond_batchnorm_fused(x.reshape(bsz, h * w, c), scale_e, offset_e, eps)
     return out.reshape(bsz, h, w, c).astype(x.dtype)

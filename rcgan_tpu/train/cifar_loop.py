@@ -99,6 +99,10 @@ class CifarTrainer:
         ``axis``: mesh axis name when running under shard_map, else None.
         """
         cfg, acfg, tcfg = self.cfg, self.acfg, self.tcfg
+        if axis is not None:
+            # independent noise per shard (the reference samples fresh
+            # tf.random_normal per tower, gan_resnet.py:359)
+            rng = jax.random.fold_in(rng, jax.lax.axis_index(axis))
 
         def pavg(tree):
             if axis is None:
@@ -160,7 +164,15 @@ class CifarTrainer:
             disc_params, d_opt_state, state = carry
             batch, k = inp
             kz, kq = jax.random.split(k)
-            real = dequantize_chw_to_hwc(batch["images"], kq, cfg.img_size, cfg.img_dim)
+            from rcgan_tpu.ops.pallas import pallas_enabled
+
+            if pallas_enabled():
+                from rcgan_tpu.ops.pallas.dequant_kernel import dequantize_fused
+
+                seed = jax.random.randint(kq, (), 0, 2**31 - 1)
+                real = dequantize_fused(batch["images"], seed, cfg.img_size, cfg.img_dim)
+            else:
+                real = dequantize_chw_to_hwc(batch["images"], kq, cfg.img_size, cfg.img_dim)
             z = jax.random.normal(kz, (real.shape[0], cfg.z_dim), jnp.float32)
             sb = {
                 "real_data": real,
