@@ -140,9 +140,11 @@ def discriminator_all_labels(ctx: Ctx, cfg: DCGANConfig, image: jax.Array) -> ja
     (``mnist/model.py:153-174,183-204``).  When the trunk is
     label-independent (projection D without concat_y — the shipped unbiased
     config) we factorize: one trunk pass + a ``[y_dim, df]`` label matrix,
-    a 10x compute saving that is exactly equal in value.  Otherwise we tile
-    the batch 10x; batch-norm moments over exact copies equal the per-call
-    moments, so parity holds there too.
+    a 10x compute saving that is exactly equal in value.  When labels DO
+    enter the trunk (vanilla D, concat_y) we evaluate per label exactly as
+    the reference does — batch-norm moments there are per-label-call, which
+    a tiled batch would NOT reproduce (label channels change the
+    activations feeding BN).
     """
     b = image.shape[0]
     eye = jnp.eye(cfg.y_dim, dtype=image.dtype)
@@ -153,11 +155,13 @@ def discriminator_all_labels(ctx: Ctx, cfg: DCGANConfig, image: jax.Array) -> ja
         h5_all = linear(ctx, eye, cfg.df_dim, "d_h5_y_lin", max_norm=cfg.max_norm)  # [y, df]
         return h4 + h3 @ h5_all.T  # [B, y_dim]
 
-    # general path: tile each image across all labels
-    imgs = jnp.repeat(image, cfg.y_dim, axis=0)  # [B*y, H, W, C]
-    labels = jnp.tile(eye, (b, 1))  # [B*y, y_dim]
-    _, logits = discriminator(ctx, cfg, imgs, labels)
-    return logits.reshape(b, cfg.y_dim)
+    # general path: one D tower per label, like the reference's 10 replicas
+    cols = []
+    for i in range(cfg.y_dim):
+        y = jnp.broadcast_to(eye[i], (b, cfg.y_dim))
+        _, logits = discriminator(ctx, cfg, image, y)
+        cols.append(logits[:, 0])
+    return jnp.stack(cols, axis=1)  # [B, y_dim]
 
 
 def classifier(ctx: Ctx, cfg: DCGANConfig, x: jax.Array):

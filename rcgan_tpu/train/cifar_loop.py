@@ -236,7 +236,7 @@ class CifarTrainer:
             mesh=mesh,
             in_specs=(repl, data2, data1, repl, repl),
             out_specs=(repl, repl),
-            check_rep=False,
+            check_vma=False,
         )
         return jax.jit(mapped, donate_argnums=0)
 

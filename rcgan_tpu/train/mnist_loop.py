@@ -196,7 +196,7 @@ class MnistTrainer:
             mesh=self.mesh,
             in_specs=(repl, data, repl),
             out_specs=(repl, metric_specs),
-            check_rep=False,
+            check_vma=False,
         )
         return jax.jit(mapped, donate_argnums=0)
 

@@ -275,3 +275,56 @@ def test_layer_instance_pixel_norm_shapes():
 
 def test_lrelu():
     np.testing.assert_allclose(lrelu(jnp.array([-1.0, 2.0])), [-0.2, 2.0])
+
+
+def test_conv2d_lib_depthwise_and_separable():
+    x = jax.random.normal(jax.random.key(0), (2, 8, 8, 4))
+
+    def f(ctx):
+        dw = conv2d_lib(ctx, x, 4, 0, 3, 1, "dw", conv_type="depthwise_conv2d",
+                        channel_multiplier=2)
+        sep = conv2d_lib(ctx, x, 4, 6, 3, 1, "sep", conv_type="separable_conv2d",
+                         channel_multiplier=2)
+        return dw, sep
+
+    _, _, (dw, sep), _ = run_once(f)
+    assert dw.shape == (2, 8, 8, 8)  # cin * multiplier
+    assert sep.shape == (2, 8, 8, 6)
+
+
+def test_conv2d_lib_pixelcnn_mask_causality():
+    """Masked conv output at pixel (i,j) must not depend on future pixels."""
+    x = jax.random.normal(jax.random.key(1), (1, 6, 6, 2))
+
+    def f(ctx):
+        return conv2d_lib(ctx, x, 2, 4, 3, 1, "m", mask_type=("a", 1))
+
+    t = transform(f)
+    params, state = t.init(jax.random.key(0))
+    base, _ = t.apply(params, state, None)
+
+    x2 = x.at[0, 4:, :, :].set(123.0)  # poke future rows
+    ctx = Ctx(params=params, state=state, init=False)
+    from rcgan_tpu.ops import conv2d_lib as c2l
+
+    out2 = c2l(ctx, x2, 2, 4, 3, 1, "m", mask_type=("a", 1))
+    np.testing.assert_allclose(base[0, :4], out2[0, :4], rtol=1e-5)
+
+
+def test_mnist_vanilla_all_labels_matches_loop():
+    from rcgan_tpu.models import dcgan
+
+    cfg = dcgan.DCGANConfig(batch_size=3, disc_type="vanilla", dfc_dim=16, df_dim=4)
+    ctx = Ctx(rng=jax.random.key(0), init=True)
+    img = jax.random.normal(jax.random.key(1), (3, 28, 28, 1))
+    tiled = dcgan.discriminator_all_labels(ctx, cfg, img)
+    params, state = ctx.params, ctx.updated_state()
+
+    cols = []
+    for i in range(10):
+        y = jnp.tile(jnp.eye(10)[i], (3, 1))
+        ctx2 = Ctx(params=params, state=state, init=False)
+        _, logits = dcgan.discriminator(ctx2, cfg, img, y)
+        cols.append(logits[:, 0])
+    oracle = jnp.stack(cols, axis=1)
+    np.testing.assert_allclose(tiled, oracle, rtol=2e-4, atol=2e-5)
