@@ -199,6 +199,21 @@ def main(argv=None):
 
     from rcgan_tpu.train.failures import PreemptionGuard, maybe_inject_fault
 
+    if flags.profile_steps:
+        # capture a device trace of warm steps (utils/profiling; view in TB)
+        from rcgan_tpu.utils.profiling import trace
+
+        ts, _ = trainer.step(ts, next(d_iter), next(g_iter), int(ts.step), jax.random.key(9))
+        try:
+            with trace(os.path.join(run_path, "profile")):
+                for p_i in range(flags.profile_steps):
+                    ts, m = trainer.step(ts, next(d_iter), next(g_iter), int(ts.step) + p_i + 1,
+                                         jax.random.key(10 + p_i))
+                jax.block_until_ready(m["d_cost"])
+            log.info("wrote profiler trace to %s", os.path.join(run_path, "profile"))
+        except Exception as e:  # some remote backends lack profiler support
+            log.warning("profiler capture failed (%s); continuing without trace", e)
+
     start_iter = int(ts.step)
     inception_score_max = 0.0
     gen_label_acc_max = 0.0

@@ -137,6 +137,7 @@ def cifar_flags() -> FlagParser:
     p.define_integer("mesh_devices", 0, "Data-mesh size (0 = all local devices)")
     p.define_integer("eval_train_size", 20000, "Eval-classifier training examples")
     p.define_integer("synthetic_train_size", 50000, "Synthetic dataset size")
+    p.define_integer("profile_steps", 0, "Capture a jax.profiler trace of N warm steps")
     return p
 
 

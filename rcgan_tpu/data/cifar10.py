@@ -18,7 +18,7 @@ from typing import Iterator, Tuple
 
 import numpy as np
 
-from rcgan_tpu.data.confusion import build_confusion, corrupt_dataset_numpy
+from rcgan_tpu.data.confusion import build_confusion
 
 TRAIN_FILES = ["data_batch_1", "data_batch_2", "data_batch_3", "data_batch_4", "data_batch_5"]
 TEST_FILES = ["test_batch"]

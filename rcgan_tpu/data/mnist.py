@@ -17,7 +17,7 @@ import os
 
 import numpy as np
 
-from rcgan_tpu.data.confusion import build_confusion, corrupt_dataset_numpy
+from rcgan_tpu.data.confusion import build_confusion
 
 
 @dataclasses.dataclass

@@ -21,7 +21,7 @@ from typing import Callable, Tuple
 import numpy as np
 
 import jax
-import jax.numpy as jnp
+
 
 
 def preds_to_score(preds: np.ndarray, splits: int = 10) -> Tuple[float, float]:
@@ -60,4 +60,26 @@ def inception_score(
     preds = []
     for i in range(n // batch):
         preds.append(np.asarray(step(jax.random.fold_in(rng, i))))
+    return preds_to_score(np.concatenate(preds, axis=0), splits)
+
+
+def real_data_score(
+    images: np.ndarray,
+    logits_fn: Callable[[jax.Array], jax.Array],
+    batch: int = 500,
+    splits: int = 10,
+) -> Tuple[float, float]:
+    """Score of REAL images under the same estimator — the sanity anchor the
+    reference records as a comment (11.34 / 11.31±0.08 for the CIFAR-10
+    train set under Inception-v3, ``inception_score_.py:82``).  Run this
+    once per scorer to calibrate what "real data" scores."""
+    import jax.numpy as jnp
+
+    @jax.jit
+    def step(x):
+        return jax.nn.softmax(logits_fn(x), axis=-1)
+
+    preds = []
+    for i in range(0, len(images) - batch + 1, batch):
+        preds.append(np.asarray(step(jnp.asarray(images[i : i + batch]))))
     return preds_to_score(np.concatenate(preds, axis=0), splits)

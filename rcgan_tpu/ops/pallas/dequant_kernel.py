@@ -9,7 +9,6 @@ intermediate HBM round trips per critic step.
 
 from __future__ import annotations
 
-import functools
 
 import jax
 import jax.numpy as jnp

@@ -95,7 +95,7 @@ class Sampler:
 
 
 def main(argv=None):
-    from rcgan_tpu.utils.images import image_manifold_size, save_images
+    from rcgan_tpu.utils.images import save_images
 
     p = argparse.ArgumentParser(description="rcgan_tpu sampler")
     p.add_argument("--model", choices=["mnist", "cifar"], required=True)

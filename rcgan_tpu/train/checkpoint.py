@@ -11,7 +11,7 @@ reference's Saver-saves-all-variables behavior (SURVEY §5.4).  Also provides
 from __future__ import annotations
 
 import os
-from typing import Any, Optional
+from typing import Optional
 
 import jax
 import numpy as np

@@ -6,7 +6,7 @@ graceful no-op degradation when it is absent."""
 from __future__ import annotations
 
 import logging
-from typing import Optional
+
 
 import numpy as np
 

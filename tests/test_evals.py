@@ -87,3 +87,20 @@ def test_ssim_msssim_identity_and_noise():
     assert msssim(img, img) > 0.999
     noisy = np.clip(img + 40 * rs.randn(*img.shape), 0, 255).astype(np.float32)
     assert msssim(img, noisy) < 0.99
+
+
+def test_real_data_score_anchor():
+    """A well-trained classifier on clearly-separable real data should score
+    near n_classes — the analog of the reference's 11.31 real-CIFAR anchor."""
+    from rcgan_tpu.evals.classifier import mnist_classifier
+    from rcgan_tpu.evals.inception import real_data_score
+
+    rs = np.random.RandomState(0)
+    templates = (rs.rand(10, 28, 28, 1) > 0.5).astype(np.float32)
+    y = rs.randint(10, size=3000)
+    x = templates[y] + 0.05 * rs.randn(3000, 28, 28, 1).astype(np.float32)
+    cls = mnist_classifier()
+    cls.train(jax.random.key(0), x, y, epochs=2, batch_size=128)
+
+    mean, std = real_data_score(x[:1000], lambda v: cls.logits(cls.params, v), batch=250)
+    assert mean > 6.0, mean  # near the 10-class ceiling for separable data
