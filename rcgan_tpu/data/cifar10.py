@@ -61,11 +61,26 @@ def _unpickle(path: str):
 
 
 def synthetic_cifar(n: int, seed: int = 0):
+    """Smooth class-deterministic color blobs (CHW-flat uint8, CIFAR pickle
+    layout).  Smooth/low-frequency on purpose — see
+    ``data.mnist.synthetic_digits`` for why."""
     rs = np.random.RandomState(seed)
-    templates = (rs.rand(10, OUTPUT_DIM) * 255).astype(np.float32)
+    yy, xx = np.mgrid[0:32, 0:32].astype(np.float32)
+    templates = np.zeros((10, 3, 32, 32), np.float32)
+    centers = rs.rand(10, 3, 2).astype(np.float32) * 24 + 4
+    widths = (rs.rand(10, 3).astype(np.float32) * 4.0 + 3.0) ** 2
+    colors = rs.rand(10, 3, 3).astype(np.float32)  # [class, blob, rgb]
+    for c in range(10):
+        for b in range(3):
+            cy, cx = centers[c, b]
+            blob = np.exp(-((yy - cy) ** 2 + (xx - cx) ** 2) / (2 * widths[c, b]))
+            templates[c] += colors[c, b][:, None, None] * blob
+    templates = np.clip(templates, 0.0, 1.0).reshape(10, OUTPUT_DIM)
+
     labels = rs.randint(10, size=n).astype(np.int64)
-    imgs = templates[labels] + 40.0 * rs.randn(n, OUTPUT_DIM).astype(np.float32)
-    return np.clip(imgs, 0, 255).astype(np.uint8), labels
+    gain = (0.75 + 0.5 * rs.rand(n, 1)).astype(np.float32)
+    imgs = templates[labels] * gain + 0.02 * rs.randn(n, OUTPUT_DIM).astype(np.float32)
+    return (np.clip(imgs, 0.0, 1.0) * 255).astype(np.uint8), labels
 
 
 def _make_split(images, labels_actual, alpha: float, seed: int) -> CifarSplit:

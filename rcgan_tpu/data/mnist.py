@@ -46,15 +46,31 @@ def _read_idx_labels(path: str, n: int) -> np.ndarray:
 
 
 def synthetic_digits(n: int = 70000, seed: int = 0):
-    """Class-identifiable fake digits: one fixed random template per class
-    plus per-example noise.  Lets classifiers/evals produce meaningful
-    accuracies without network access."""
+    """Class-identifiable fake digits: smooth class-deterministic Gaussian
+    blobs with small per-example jitter.  Smoothness matters: deconvolution
+    generators reproduce low-frequency shapes well, so GAN quality metrics
+    (gen-label accuracy, recovery) are meaningful on this stand-in data —
+    binary noise templates are not learnable by a DCGAN and flatline them."""
     rs = np.random.RandomState(seed)
-    templates = rs.rand(10, 28, 28, 1) > 0.7
+    yy, xx = np.mgrid[0:28, 0:28].astype(np.float32)
+    # 3 blobs per class at class-deterministic locations/widths
+    centers = rs.rand(10, 3, 2).astype(np.float32) * 20 + 4
+    widths = (rs.rand(10, 3).astype(np.float32) * 3.0 + 2.0) ** 2
+    templates = np.zeros((10, 28, 28), np.float32)
+    for c in range(10):
+        for b in range(3):
+            cy, cx = centers[c, b]
+            templates[c] += np.exp(-((yy - cy) ** 2 + (xx - cx) ** 2) / (2 * widths[c, b]))
+    templates = np.clip(templates, 0.0, 1.0)
+
     labels = rs.randint(10, size=n).astype(np.int64)
-    imgs = templates[labels].astype(np.float32)
-    imgs = np.clip(imgs + 0.15 * rs.randn(n, 28, 28, 1).astype(np.float32), 0.0, 1.0)
-    return (imgs * 255).astype(np.uint8), labels
+    # per-example jitter: global intensity + tiny spatial shift
+    gain = (0.8 + 0.4 * rs.rand(n, 1, 1)).astype(np.float32)
+    shifts = rs.randint(-2, 3, size=(n, 2))
+    imgs = templates[labels] * gain
+    imgs = np.stack([np.roll(im, tuple(s), axis=(0, 1)) for im, s in zip(imgs, shifts)])
+    imgs = np.clip(imgs + 0.03 * rs.randn(n, 28, 28).astype(np.float32), 0.0, 1.0)
+    return (imgs[..., None] * 255).astype(np.uint8), labels
 
 
 def load_mnist(

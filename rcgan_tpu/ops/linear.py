@@ -84,8 +84,19 @@ def embed_y(
     vocab_size: int = 10,
     embedding_dim: int = 300,
     name: str = "Embedding.Label",
+    frozen_table=None,
 ):
     """Label embedding table, uniform(+-0.08) init
-    (``cifar10/common/ops/embedding.py:12-51``).  ``labels`` are int ids."""
+    (``cifar10/common/ops/embedding.py:12-51``).  ``labels`` are int ids.
+
+    ``frozen_table``: pretrained (e.g. word2vec) embeddings used as a
+    NON-trainable table — the reference's ``word2vec_file`` option; stored
+    in state so no gradients flow."""
+    if frozen_table is not None:
+        table = ctx.stat(
+            name, "embedding_map_frozen", frozen_table.shape,
+            lambda key, shape, dtype: jnp.asarray(frozen_table, dtype),
+        )
+        return jnp.take(jax.lax.stop_gradient(table), labels, axis=0)
     table = ctx.param(name, "embedding_map", (vocab_size, embedding_dim), inits.uniform_range(0.08))
     return jnp.take(table, labels, axis=0)

@@ -328,3 +328,17 @@ def test_mnist_vanilla_all_labels_matches_loop():
         cols.append(logits[:, 0])
     oracle = jnp.stack(cols, axis=1)
     np.testing.assert_allclose(tiled, oracle, rtol=2e-4, atol=2e-5)
+
+
+def test_embed_y_frozen_table_no_grads():
+    table = np.random.RandomState(0).randn(10, 8).astype(np.float32)
+
+    def f(ctx, labels):
+        return embed_y(ctx, labels, 10, 8, name="E", frozen_table=jnp.asarray(table))
+
+    t = transform(f)
+    labels = jnp.array([2, 5])
+    params, state = t.init(jax.random.key(0), labels)
+    assert "E" not in params  # frozen → state, not trainable params
+    out, _ = t.apply(params, state, None, labels)
+    np.testing.assert_allclose(out, table[[2, 5]], rtol=1e-6)

@@ -120,3 +120,31 @@ def test_mnist_sharded_step_runs():
     assert m["prob_real"].shape == (8,)
     ts, m = tr.step(ts, batch, jax.random.key(2))
     assert np.isfinite(float(m["d_loss"]))
+
+
+def test_gspmd_dp_tp_cycle():
+    """GSPMD path: 4x2 ('data','model') mesh with tensor-sharded wide layers;
+    XLA inserts collectives. Must produce finite costs and keep stepping."""
+    from rcgan_tpu.parallel.gspmd import (
+        apply_shardings,
+        gspmd_cycle,
+        make_dp_tp_mesh,
+        train_state_shardings,
+    )
+
+    mesh = make_dp_tp_mesh(4, 2)
+    cfg = ResnetGANConfig(dim_g=8, dim_d=8, embedding_dim=12, algorithm="rcgan-u")
+    acfg = CifarAlgoConfig(algorithm="rcgan-u", perm_classifier=True, confuse_init=True)
+    tcfg = CifarTrainConfig(n_critic=2)
+    c, _ = build_confusion(0.6, 10)
+    tr = CifarTrainer(cfg, acfg, tcfg, c, mesh=None)
+    b = 8
+    ts = tr.init(jax.random.key(0), b)
+    ts = apply_shardings(ts, train_state_shardings(mesh, ts))
+    step = gspmd_cycle(tr, mesh)
+
+    d_batches, g_labels = make_data(b)
+    ts, m = step(ts, d_batches, g_labels, jnp.asarray(1, jnp.int32), jax.random.key(1))
+    assert np.isfinite(float(m["d_cost"])) and np.isfinite(float(m["g_cost"]))
+    ts, m = step(ts, d_batches, g_labels, jnp.asarray(2, jnp.int32), jax.random.key(2))
+    assert np.isfinite(float(m["d_cost"]))
