@@ -30,6 +30,10 @@ REFERENCE_CYCLES_PER_SEC = 1.0  # documented estimate; see module docstring
 
 def main():
     import jax
+
+    from rcgan_tpu.utils.compilation_cache import enable as enable_xla_cache
+
+    enable_xla_cache()
     import jax.numpy as jnp
 
     from rcgan_tpu.algorithms.cifar import CifarAlgoConfig

@@ -131,6 +131,9 @@ def infinite_g_labels(split, batch_size, gen_bs_multiple):
 
 
 def main(argv=None):
+    from rcgan_tpu.utils.compilation_cache import enable as enable_xla_cache
+
+    enable_xla_cache()
     flags = flagslib.parse(flagslib.cifar_flags(), argv)
     # force=True: jax's import side effects configure the root logger first,
     # which would silently turn this into a no-op and lose the log file.

@@ -177,6 +177,9 @@ def train(flags, trainer: MnistTrainer, ts, data: mnist_data.MnistData, ckpt: Ch
 
 
 def main(argv=None):
+    from rcgan_tpu.utils.compilation_cache import enable as enable_xla_cache
+
+    enable_xla_cache()
     flags = flagslib.parse(flagslib.mnist_flags(), argv)
     flags.input_height = flags.output_height = 28
     flags.input_width = flags.input_width or 28
