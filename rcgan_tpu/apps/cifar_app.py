@@ -291,7 +291,10 @@ def main(argv=None):
             metrics.plot("gen_label_acc_max", gen_label_acc_max)
 
         if (iteration < 500) or (iteration % 1000 == 999):
-            metrics.dir_flush(run_path)
+            # reference cadence (gan_resnet.py:1007): flush + save every
+            # early iteration.  Saves are async; curve JPGs render
+            # periodically (the log line + pickle still flush every time).
+            metrics.dir_flush(run_path, render=(iteration % 100 == 99 or iteration == iters - 1))
             ckpt.save(iteration, ts)
         metrics.tick()
 
@@ -303,6 +306,7 @@ def main(argv=None):
     acc = generated_label_accuracy(eval_cls, _to_cls_images(samples), labels, confusion_matrix=cm)
     metrics.plot("gen_label_acc", acc)
     metrics.dir_flush(run_path)
+    ckpt.close()  # finalize any in-flight async save
     tb.flush()
     tb.close()
     log.info("final generated label accuracy: %s", acc)

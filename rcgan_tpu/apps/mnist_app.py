@@ -230,7 +230,7 @@ def main(argv=None):
         if restored is not None:
             ts = restored
         ts = train(flags, trainer, ts, data, ckpt, sample_dir, eval_cls, metrics)
-        ckpt.save(int(ts.step), ts)
+        ckpt.save(int(ts.step), ts, wait=True)
     else:
         ts = restored
     metrics.dir_flush(run_path)

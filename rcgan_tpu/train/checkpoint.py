@@ -29,7 +29,11 @@ class Checkpointer:
             options=ocp.CheckpointManagerOptions(max_to_keep=max_to_keep, create=True),
         )
 
-    def save(self, step: int, ts: TrainState):
+    def save(self, step: int, ts: TrainState, wait: bool = False):
+        """Asynchronous by default: the D2H transfer + write overlap training
+        (the reference saves EVERY iteration for the first 500,
+        ``gan_resnet.py:1007`` — blocking there costs ~10s/step through a
+        remote-device tunnel).  ``wait=True`` or :meth:`close` finalizes."""
         payload = {
             "groups": ts.groups,
             "state": ts.state,
@@ -37,13 +41,19 @@ class Checkpointer:
             "step": ts.step,
         }
         self.mgr.save(step, args=ocp.args.StandardSave(payload))
+        if wait:
+            self.mgr.wait_until_finished()
+
+    def close(self):
         self.mgr.wait_until_finished()
 
     def latest_step(self) -> Optional[int]:
+        self.mgr.wait_until_finished()
         return self.mgr.latest_step()
 
     def restore(self, ts_template: TrainState, step: Optional[int] = None) -> Optional[TrainState]:
         """Restore into the template's structure; None when no checkpoint."""
+        self.mgr.wait_until_finished()
         step = step if step is not None else self.mgr.latest_step()
         if step is None:
             return None
