@@ -292,10 +292,12 @@ def main(argv=None):
 
         if (iteration < 500) or (iteration % 1000 == 999):
             # reference cadence (gan_resnet.py:1007): flush + save every
-            # early iteration.  Saves are async; curve JPGs render
-            # periodically (the log line + pickle still flush every time).
+            # early iteration.  Saves are async and early saves throttled
+            # (--ckpt_early_every); curve JPGs render periodically (the log
+            # line + pickle still flush on the reference cadence).
             metrics.dir_flush(run_path, render=(iteration % 100 == 99 or iteration == iters - 1))
-            ckpt.save(iteration, ts)
+            if iteration >= 500 or iteration % max(1, flags.ckpt_early_every) == 0:
+                ckpt.save(iteration, ts)
         metrics.tick()
 
     # final gen-label accuracy, optionally permutation-corrected
