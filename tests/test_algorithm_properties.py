@@ -116,3 +116,32 @@ def test_cifar_unbiased_identity_weights_match_biased_real_term():
     out_b = disc_loss(Ctx(params=params, state=state, init=False, update_sn=False),
                       cfg_b, CifarAlgoConfig(algorithm="biased"), batch, z, c_id)
     np.testing.assert_allclose(out_u["disc_cost"], out_b["disc_cost"], rtol=1e-4, atol=1e-5)
+
+
+def test_cifar_cond_bn_label_gradients_flow_to_used_rows_only():
+    """Conditioning mechanics: the generator loss gradient w.r.t. a cond-BN
+    class row must be nonzero for labels present in the batch and exactly
+    zero for absent labels."""
+    from rcgan_tpu.algorithms.cifar import gen_loss as cifar_gen_loss
+
+    cfg = ResnetGANConfig(dim_g=8, dim_d=8, embedding_dim=12, algorithm="rcgan")
+    acfg = CifarAlgoConfig(algorithm="rcgan")
+    b = 4
+    labels = jnp.asarray([0, 0, 3, 3], jnp.int32)
+    z = jax.random.normal(jax.random.key(1), (b, cfg.z_dim))
+    c_id = jnp.asarray(np.eye(10, dtype=np.float32))
+
+    ctx0 = Ctx(rng=jax.random.key(0), init=True)
+    cifar_gen_loss(ctx0, cfg, acfg, labels, labels, z, c_id)
+    params, state = ctx0.params, ctx0.updated_state()
+
+    def loss(p):
+        ctx = Ctx(params=p, state=state, init=False, update_sn=False)
+        return cifar_gen_loss(ctx, cfg, acfg, labels, labels, z, c_id)["gen_cost"]
+
+    grads = jax.grad(loss)(params)
+    g_scale = np.asarray(grads["G.Block.1.N1"]["scale"])  # [10, C]
+    used = np.abs(g_scale[[0, 3]]).sum()
+    unused = np.abs(g_scale[[1, 2, 4, 5, 6, 7, 8, 9]]).sum()
+    assert used > 0.0
+    np.testing.assert_allclose(unused, 0.0, atol=1e-12)
