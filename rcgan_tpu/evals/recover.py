@@ -37,7 +37,6 @@ def recover_labels(
     y_actual: jax.Array,
     cfg: RecoverConfig,
     rng: jax.Array,
-    log_every: int = 0,
 ) -> Tuple[np.ndarray, dict]:
     """``sampler(z, y_onehot)`` is the frozen generator (BN inference mode).
 

@@ -58,14 +58,10 @@ def train_state_shardings(mesh: Mesh, ts, rules: Optional[Dict] = None):
         for g, grp in ts.groups.items()
     }
     state = jax.tree_util.tree_map(lambda x: repl, ts.state)
-    # optimizer slots shard like their parameters
+    # Optimizer slots replicated: Adam mu/nu of the tensor-sharded layers
+    # could mirror the param sharding, but at this model scale the memory
+    # win is negligible and replication keeps resharding out of the update.
     opt_states = jax.tree_util.tree_map(lambda x: repl, ts.opt_states)
-
-    def match_opt(opt_tree, group):
-        # optax scale_by_adam state holds (count, mu, nu); mu/nu mirror params
-        return jax.tree_util.tree_map(
-            lambda x: repl, opt_tree
-        )
 
     from rcgan_tpu.train.state import TrainState
 
