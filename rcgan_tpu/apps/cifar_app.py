@@ -110,6 +110,32 @@ def infinite_batches(split, batch_size, n_critic):
         yield b
 
 
+def infinite_index_batches(split, batch_size, n_critic):
+    """Index-only variant for device-resident datasets: epoch order matches
+    ``CifarSplit.epoch`` (contiguous batches), but only int32 indices cross
+    the host→device boundary."""
+    n = (len(split) // batch_size) * batch_size
+    pos = 0
+    while True:
+        idx = np.empty((n_critic, batch_size), np.int32)
+        for j in range(n_critic):
+            if pos + batch_size > n:
+                pos = 0
+            idx[j] = np.arange(pos, pos + batch_size, dtype=np.int32)
+            pos += batch_size
+        yield {"index": jnp.asarray(idx)}
+
+
+def device_dataset_of(split) -> dict:
+    return {
+        "images": split.images.astype(np.int32),
+        "labels": split.labels.astype(np.int32),
+        "labels_random": split.labels_random.astype(np.int32),
+        "labels_biased": split.labels_biased.astype(np.int32),
+        "labels_inv_weights": split.labels_inv_weights.astype(np.float32),
+    }
+
+
 def infinite_g_labels(split, batch_size, gen_bs_multiple):
     """labels_random/biased for the generator batch (gen_bs_multiple x B),
     mirroring ``inf_train_gen_G`` (``gan_resnet.py:869-882``)."""
@@ -164,7 +190,9 @@ def main(argv=None):
     )
 
     dtype = jnp.bfloat16 if flags.compute_dtype == "bfloat16" else jnp.float32
-    trainer = CifarTrainer(cfg, acfg, tcfg, c_alpha, mesh=mesh, compute_dtype=dtype)
+    device_dataset = device_dataset_of(train_split) if flags.device_data else None
+    trainer = CifarTrainer(cfg, acfg, tcfg, c_alpha, mesh=mesh, compute_dtype=dtype,
+                           device_dataset=device_dataset)
     ts = trainer.init(jax.random.key(0), batch_size)
 
     ckpt = Checkpointer(ckpt_dir)
@@ -182,7 +210,10 @@ def main(argv=None):
 
     from rcgan_tpu.data.pipeline import Prefetcher
 
-    d_iter = Prefetcher(infinite_batches(train_split, batch_size, tcfg.n_critic), depth=2)
+    if flags.device_data:
+        d_iter = infinite_index_batches(train_split, batch_size, tcfg.n_critic)
+    else:
+        d_iter = Prefetcher(infinite_batches(train_split, batch_size, tcfg.n_critic), depth=2)
     g_iter = Prefetcher(infinite_g_labels(train_split, batch_size, tcfg.gen_bs_multiple), depth=2)
 
     fixed_noise = jnp.asarray(np.random.RandomState(0).normal(size=(100, cfg.z_dim)).astype(np.float32))

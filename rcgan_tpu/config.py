@@ -138,6 +138,9 @@ def cifar_flags() -> FlagParser:
     p.define_integer("eval_train_size", 20000, "Eval-classifier training examples")
     p.define_integer("synthetic_train_size", 50000, "Synthetic dataset size")
     p.define_integer("profile_steps", 0, "Capture a jax.profiler trace of N warm steps")
+    p.define_boolean("device_data", True,
+                     "Keep the full dataset resident in HBM and feed index "
+                     "batches (eliminates per-iteration host transfers)")
     p.define_integer("ckpt_early_every", 25,
                      "Checkpoint cadence within the first 500 iters (reference saves "
                      "EVERY early iteration — pathological through a remote-device "

@@ -145,3 +145,39 @@ def test_checkpoint_roundtrip(tmp_path):
         np.asarray(ts.groups["gen"]["g_h0_lin"]["Matrix"]),
     )
     assert int(restored.step) == 1
+
+
+def test_cifar_device_dataset_matches_host_fed():
+    """Device-resident dataset (index batches) must produce bit-identical
+    costs to host-fed batches on the same data/keys."""
+    from rcgan_tpu.data.confusion import build_confusion as _bc
+
+    cfg = ResnetGANConfig(dim_g=8, dim_d=8, embedding_dim=12, algorithm="rcgan")
+    acfg = CifarAlgoConfig(algorithm="rcgan")
+    tcfg = CifarTrainConfig(n_critic=2, gen_bs_multiple=2)
+    c, _ = _bc(0.6, 10)
+    b, n = 4, 32
+    rs = np.random.RandomState(0)
+    dataset = {
+        "images": rs.randint(0, 256, (n, 3072)).astype(np.int32),
+        "labels": rs.randint(0, 10, n).astype(np.int32),
+        "labels_random": rs.randint(0, 10, n).astype(np.int32),
+        "labels_biased": rs.randint(0, 10, n).astype(np.int32),
+        "labels_inv_weights": rs.rand(n, 10).astype(np.float32),
+    }
+    idx = np.stack([np.arange(0, b), np.arange(b, 2 * b)]).astype(np.int32)
+    host_batches = {k: jnp.asarray(np.stack([v[idx[0]], v[idx[1]]])) for k, v in dataset.items()}
+    g_labels = {
+        "random": jnp.asarray(rs.randint(0, 10, 2 * b).astype(np.int32)),
+        "biased": jnp.asarray(rs.randint(0, 10, 2 * b).astype(np.int32)),
+    }
+
+    tr_host = CifarTrainer(cfg, acfg, tcfg, c)
+    tr_dev = CifarTrainer(cfg, acfg, tcfg, c, device_dataset=dataset)
+    ts_h = tr_host.init(jax.random.key(0), b)
+    ts_d = tr_dev.init(jax.random.key(0), b)
+
+    ts_h, m_h = tr_host.step(ts_h, host_batches, g_labels, 1, jax.random.key(5))
+    ts_d, m_d = tr_dev.step(ts_d, {"index": jnp.asarray(idx)}, g_labels, 1, jax.random.key(5))
+    np.testing.assert_allclose(float(m_h["d_cost"]), float(m_d["d_cost"]), rtol=1e-6)
+    np.testing.assert_allclose(float(m_h["g_cost"]), float(m_d["g_cost"]), rtol=1e-6)
