@@ -68,15 +68,20 @@ def main():
     ts, m = trainer.step(ts, d_batches, g_labels, 1, rng)
     float(m["d_cost"])
 
+    # median of 3 windows: remote-tunnel jitter makes single windows noisy
     n_iters = 100
-    t0 = time.perf_counter()
-    for i in range(n_iters):
-        rng, sub = jax.random.split(rng)
-        ts, m = trainer.step(ts, d_batches, g_labels, i + 2, sub)
-    float(m["d_cost"])  # materialize: the only true end-of-work barrier here
-    dt = time.perf_counter() - t0
+    rates = []
+    it = 2
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(n_iters):
+            rng, sub = jax.random.split(rng)
+            ts, m = trainer.step(ts, d_batches, g_labels, it, sub)
+            it += 1
+        float(m["d_cost"])  # materialize: the only true end-of-work barrier
+        rates.append(n_iters / (time.perf_counter() - t0))
 
-    cycles_per_sec = n_iters / dt
+    cycles_per_sec = float(np.median(rates))
     print(
         json.dumps(
             {

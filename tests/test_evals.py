@@ -104,3 +104,23 @@ def test_real_data_score_anchor():
 
     mean, std = real_data_score(x[:1000], lambda v: cls.logits(cls.params, v), batch=250)
     assert mean > 6.0, mean  # near the 10-class ceiling for separable data
+
+
+def test_msssim_cli(tmp_path):
+    from PIL import Image
+    import subprocess, sys
+
+    rs = np.random.RandomState(0)
+    img = (rs.rand(64, 64, 3) * 255).astype(np.uint8)
+    a, b = str(tmp_path / "a.png"), str(tmp_path / "b.png")
+    Image.fromarray(img).save(a)
+    Image.fromarray(img).save(b)
+    out = subprocess.run(
+        [sys.executable, "-m", "rcgan_tpu.evals.msssim",
+         "--original_image", a, "--compared_image", b],
+        capture_output=True, text=True, cwd="/root/repo",
+        env={**__import__("os").environ, "JAX_PLATFORMS": "cpu"},
+    )
+    # sitecustomize pins the platform; stdout still carries the score
+    val = float(out.stdout.strip().splitlines()[-1])
+    assert val > 0.999, (out.stdout, out.stderr)

@@ -79,3 +79,28 @@ def test_serving_sampler_roundtrip(tmp_path):
     imgs = s.sample([0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 0, 1])  # ragged (12 > batch 10)
     assert imgs.shape == (12, 32, 32, 3)
     assert np.abs(imgs).max() <= 1.0
+
+
+def test_serving_cli_writes_grid(tmp_path):
+    from rcgan_tpu.algorithms.cifar import CifarAlgoConfig
+    from rcgan_tpu.data.confusion import one_coin_matrix
+    from rcgan_tpu.models.resnet_gan import ResnetGANConfig
+    from rcgan_tpu.train.checkpoint import Checkpointer
+    from rcgan_tpu.train.cifar_loop import CifarTrainer, CifarTrainConfig
+    from rcgan_tpu import serving
+
+    cfg = ResnetGANConfig(dim_g=8, dim_d=8, embedding_dim=12)
+    tr = CifarTrainer(cfg, CifarAlgoConfig(), CifarTrainConfig(), one_coin_matrix(0.6, 10))
+    ts = tr.init(jax.random.key(0), 4)
+    Checkpointer(str(tmp_path / "ck")).save(0, ts, wait=True)
+
+    out = str(tmp_path / "grid.png")
+    # monkeypatch the default full-size config through CLI is not possible;
+    # drive the Sampler + save path that main() uses
+    s = serving.Sampler.from_checkpoint("cifar", str(tmp_path / "ck"), batch=9,
+                                        dim_g=8, dim_d=8, embedding_dim=12)
+    imgs = s.sample(list(range(9)))
+    from rcgan_tpu.utils.images import save_images
+
+    save_images((imgs + 1.0) / 2.0, (3, 3), out)
+    assert os.path.exists(out)
