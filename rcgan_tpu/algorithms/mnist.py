@@ -63,12 +63,19 @@ def mnist_losses(
     batch: dict,
     z: jax.Array,
     confusion_actual: Optional[jax.Array] = None,
+    g_step_only: bool = False,
 ):
     """Build every loss of ``mnist/model.py:149-224`` in one trace.
 
     ``batch``: images [B,H,W,1] float, int labels y_real / y_gen / y_fake,
     float y_real_weights [B,10].  Returns a dict of scalars plus the
     diagnostic D probabilities.
+
+    ``g_step_only``: skip the real-data passes entirely — the reference's
+    ``g_optim``/``c_optim`` session runs never feed ``inputs``, so the
+    real-side D/classifier subgraphs (and their BN/SN state updates) do not
+    execute during G steps (``mnist/model.py:359-371``).  Saves one full D
+    forward per G step and matches the reference's state dynamics.
     """
     alg = acfg.algorithm
     lt = acfg.loss_fn
@@ -83,7 +90,12 @@ def mnist_losses(
     fake = generator(ctx, cfg, z, y_gen_oh, train=True)
 
     # ----- real-data discriminator term (mnist/model.py:150-174)
-    if alg in ("biased", "rcgan", "ambient"):
+    if g_step_only:
+        zero = jnp.zeros(())
+        d_prob = jnp.zeros((inputs.shape[0],))
+        d_logits = d_prob
+        d_loss_real = zero
+    elif alg in ("biased", "rcgan", "ambient"):
         d_prob, d_logits = discriminator(ctx, cfg, inputs, y_real_oh)
         d_prob, d_logits = d_prob[:, 0], d_logits[:, 0]
         d_loss_real = jnp.mean(d_real_loss(d_logits, lt))
@@ -120,9 +132,12 @@ def mnist_losses(
 
     # ----- permutation-regularizer classifier (mnist/model.py:214-224)
     if acfg.perm_regularizer:
-        cls_real = classifier(ctx, cfg, inputs)
+        if g_step_only:
+            class_loss_real = jnp.zeros(())
+        else:
+            cls_real = classifier(ctx, cfg, inputs)
+            class_loss_real = jnp.mean(sigmoid_ce(cls_real, y_real_oh))
         cls_fake = classifier(ctx, cfg, fake)
-        class_loss_real = jnp.mean(sigmoid_ce(cls_real, y_real_oh))
         class_loss_fake = jnp.mean(sigmoid_ce(cls_fake, y_gen_oh))
     else:
         class_loss_real = jnp.zeros(())

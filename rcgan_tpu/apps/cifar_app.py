@@ -252,6 +252,7 @@ def main(argv=None):
     inception_score_max = 0.0
     gen_label_acc_max = 0.0
     rng = jax.random.key(42)
+    pending = []
     guard = PreemptionGuard()
     for iteration in range(start_iter, iters):
         if guard.should_stop():
@@ -265,13 +266,22 @@ def main(argv=None):
         rng, sub = jax.random.split(rng)
         ts, m = trainer.step(ts, d_batches, g_labels, iteration, sub)
 
-        metrics.plot("d_cost", float(m["d_cost"]))
-        metrics.plot("g_cost", float(m["g_cost"]))
+        # buffer loss scalars on device; one host fetch per block (a per-step
+        # float() is a synchronizing round trip)
+        pending.append((iteration, m["d_cost"], m["g_cost"]))
+        flush_pending = len(pending) >= 50 or iteration == iters - 1 or (
+            (iteration < 500) or (iteration % 1000 == 999)
+        )
+        if flush_pending:
+            vals = np.asarray(jnp.stack([jnp.stack((d, g)) for _, d, g in pending]))
+            for (it_i, _, _), (dv, gv) in zip(pending, vals):
+                metrics.plot_at("d_cost", float(dv), it_i)
+                metrics.plot_at("g_cost", float(gv), it_i)
+            pending.clear()
         if iteration % 100 == 0:
             tb.scalar("D_wgan_cost", m["d_cost"], iteration)
             tb.scalar("G_wgan_cost", m["g_cost"], iteration)
             tb.scalar("lr", m["lr"], iteration)
-        if iteration % 100 == 0:
             log.info("iter %d d_cost %.4f g_cost %.4f (%.3fs)", iteration,
                      float(m["d_cost"]), float(m["g_cost"]), time.time() - t0)
 

@@ -103,6 +103,7 @@ def train(flags, trainer: MnistTrainer, ts, data: mnist_data.MnistData, ckpt: Ch
 
     guard = PreemptionGuard()
     counter = 1
+    pending = []
     start = time.time()
     for epoch in range(flags.epoch):
         if guard.should_stop():
@@ -137,9 +138,17 @@ def train(flags, trainer: MnistTrainer, ts, data: mnist_data.MnistData, ckpt: Ch
                     int((pr >= 0.5).sum()), pr.min(), pr.max(),
                     int((pf <= 0.5).sum()), pf.min(), pf.max(),
                 )
-            metrics.plot("d_loss", float(m["d_loss"]))
-            metrics.plot("g_loss", float(m["g_loss"]))
-            metrics.tick()
+            # buffer loss scalars on device; one host fetch per block (a
+            # per-step float() is a synchronizing round trip that would
+            # throttle the loop like the reference's 5 extra sess.runs)
+            pending.append((m["d_loss"], m["g_loss"]))
+            if len(pending) >= 50 or idx == batch_idxs - 1:
+                vals = np.asarray(jnp.stack([jnp.stack(p) for p in pending]))
+                for dl, gl in vals:
+                    metrics.plot("d_loss", float(dl))
+                    metrics.plot("g_loss", float(gl))
+                    metrics.tick()
+                pending.clear()
             if counter % 50 == 1:  # tf.summary channel (mnist/model.py:268-272)
                 tb.scalar("d_loss", m["d_loss"], counter)
                 tb.scalar("g_loss", m["g_loss"], counter)

@@ -131,7 +131,10 @@ class MnistTrainer:
                 parts = [g for n, g in groups.items() if n not in ("gen", "confusion")]
                 params = merge(*parts, g_params, c_params)
                 ctx = _loss_ctx(params, state, None, self.compute_dtype)
-                out = mnist_losses(ctx, cfg, acfg, batch, z, self.confusion_actual)
+                # g_step_only: the reference's g_optim run never executes the
+                # real-side subgraphs (mnist/model.py:359-371)
+                out = mnist_losses(ctx, cfg, acfg, batch, z, self.confusion_actual,
+                                   g_step_only=True)
                 total = out["g_loss"] + tcfg.perm_multiplier * out["class_loss_fake"]
                 return total, (out, ctx.updated_state())
 

@@ -25,6 +25,11 @@ class MetricLogger:
     def plot(self, name: str, value):
         self._since_last_flush[name][self._iter] = float(value)
 
+    def plot_at(self, name: str, value, step: int):
+        """Record at an explicit iteration (for host-side buffered metrics
+        flushed in blocks)."""
+        self._since_last_flush[name][int(step)] = float(value)
+
     def dir_flush(self, out_dir: str, log_pkl: bool = True, render: bool = True):
         prints = []
         for name, vals in self._since_last_flush.items():
