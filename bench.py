@@ -5,19 +5,24 @@ steps at the reference's full size (batch 64, DIM_G=DIM_D=128, z=128,
 HINGE loss, projection discriminator, spectral norm) — the unit of the
 reference hot loop (``cifar10/gan_resnet.py:919-947``).
 
-``vs_baseline``: the reference publishes no steps/sec (BASELINE.md), so the
-denominator is a documented estimate of its single-GPU rate: the TF1.5
-feed_dict loop ran 6 session calls per cycle with host→device copies of the
-batch + 5 label tensors each; ~1.0 cycles/sec is a generous estimate for the
-2018-class single GPU the paper used.  BASELINE.md's target is >=5x, so
-``vs_baseline >= 5`` means target met.
+Output is ONE self-describing JSON line.  Fields:
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
-
-Roofline context: one cycle is ~5.4 TFLOP (G step at gen-batch 128: ~1.9 TF;
-5 critic steps: ~0.7 TF each), so ~30 cycles/s ≈ 160 TFLOP/s ≈ 80% of a
-v5e chip's 197 TFLOP/s bf16 peak — the fused-cycle design is MXU-bound,
-which is where an image GAN should sit.
+- ``value`` / ``unit``: measured fused cycles/sec on this chip (median of
+  3 windows of 100 cycles; the value fetch is the end-of-work barrier).
+- ``tflops_per_sec``: achieved compute rate = flops/cycle x cycles/sec.
+  flops/cycle comes from XLA's own ``cost_analysis()`` of the compiled
+  cycle when available (``flops_source: "xla_cost_analysis"``), otherwise
+  the documented analytic estimate of ~5.4 TFLOP/cycle
+  (``flops_source: "analytic_estimate"``).
+- ``vs_baseline`` with ``vs_baseline_is_estimate: true``: the reference
+  publishes no steps/sec (BASELINE.md), so the denominator is a documented
+  ESTIMATE of its single-GPU rate — the TF1.5 feed_dict loop ran 6 session
+  calls per cycle with host->device copies of the batch + 5 label tensors
+  each; ~1.0 cycles/sec is a generous estimate for the 2018-class single
+  GPU the paper used.  BASELINE.md's target is >=5x.
+- ``extra_metrics.mnist_fused_iters_per_sec``: the MNIST stack's fused
+  iteration (1 D step + 2x(G+C) steps, batch 100 — ``mnist/model.py:
+  335-467``) measured the same way.
 """
 
 import json
@@ -26,14 +31,37 @@ import time
 import numpy as np
 
 REFERENCE_CYCLES_PER_SEC = 1.0  # documented estimate; see module docstring
+ANALYTIC_FLOPS_PER_CYCLE = 5.4e12  # G step @ gen-batch 128 ~1.9 TF + 5 x ~0.7 TF
 
 
-def main():
+def _timed_rate(run_one, n_iters=100, windows=3):
+    """Median over ``windows`` of ``n_iters`` calls/sec; ``run_one`` must
+    return something materializable as the sync barrier."""
+    rates = []
+    for _ in range(windows):
+        t0 = time.perf_counter()
+        last = None
+        for _ in range(n_iters):
+            last = run_one()
+        float(last)  # materialize: the only true end-of-work barrier
+        rates.append(n_iters / (time.perf_counter() - t0))
+    return float(np.median(rates))
+
+
+def _xla_flops(jitted, *args):
+    """Best-effort flops/call from XLA cost analysis; None if unavailable."""
+    try:
+        cost = jitted.lower(*args).compile().cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        flops = float(cost.get("flops", 0.0))
+        return flops if flops > 0 else None
+    except Exception:
+        return None
+
+
+def bench_cifar():
     import jax
-
-    from rcgan_tpu.utils.compilation_cache import enable as enable_xla_cache
-
-    enable_xla_cache()
     import jax.numpy as jnp
 
     from rcgan_tpu.algorithms.cifar import CifarAlgoConfig
@@ -63,25 +91,75 @@ def main():
         "biased": jnp.asarray(rs.randint(0, 10, (tcfg.gen_bs_multiple * batch,)), jnp.int32),
     }
 
-    rng = jax.random.key(1)
-    # warmup / compile (value fetch = hard sync, robust to async-ack backends)
-    ts, m = trainer.step(ts, d_batches, g_labels, 1, rng)
-    float(m["d_cost"])
+    flops_per_cycle = _xla_flops(
+        trainer._jitted_cycle, ts, d_batches, g_labels, jnp.asarray(1, jnp.int32),
+        jax.random.key(1), None,
+    )
+    flops_source = "xla_cost_analysis" if flops_per_cycle else "analytic_estimate"
+    flops_per_cycle = flops_per_cycle or ANALYTIC_FLOPS_PER_CYCLE
 
-    # median of 3 windows: remote-tunnel jitter makes single windows noisy
-    n_iters = 100
-    rates = []
-    it = 2
-    for _ in range(3):
-        t0 = time.perf_counter()
-        for _ in range(n_iters):
-            rng, sub = jax.random.split(rng)
-            ts, m = trainer.step(ts, d_batches, g_labels, it, sub)
-            it += 1
-        float(m["d_cost"])  # materialize: the only true end-of-work barrier
-        rates.append(n_iters / (time.perf_counter() - t0))
+    state = {"ts": ts, "rng": jax.random.key(1), "it": 1}
 
-    cycles_per_sec = float(np.median(rates))
+    def run_one():
+        state["rng"], sub = jax.random.split(state["rng"])
+        state["ts"], m = trainer.step(state["ts"], d_batches, g_labels, state["it"], sub)
+        state["it"] += 1
+        return m["d_cost"]
+
+    run_one()  # warmup / compile
+    float(state["ts"].step)  # sync before timing
+    cycles_per_sec = _timed_rate(run_one)
+    return cycles_per_sec, flops_per_cycle, flops_source
+
+
+def bench_mnist():
+    import jax
+    import jax.numpy as jnp
+
+    from rcgan_tpu.algorithms.mnist import MnistAlgoConfig
+    from rcgan_tpu.data.confusion import one_coin_matrix
+    from rcgan_tpu.models.dcgan import DCGANConfig
+    from rcgan_tpu.train.mnist_loop import MnistTrainer, MnistTrainConfig
+
+    batch = 100
+    trainer = MnistTrainer(
+        DCGANConfig(disc_type="projection"),
+        MnistAlgoConfig(algorithm="rcgan", loss_fn="hinge"),
+        MnistTrainConfig(),
+        one_coin_matrix(0.3, 10),
+        mesh=None,
+        compute_dtype=jnp.bfloat16,
+    )
+    rs = np.random.RandomState(1)
+    mk_labels = lambda: jnp.asarray(rs.randint(0, 10, (batch,)), jnp.int32)
+    b = {
+        "images": jnp.asarray(rs.rand(batch, 28, 28, 1), jnp.float32),
+        "y_real": mk_labels(),
+        "y_gen": mk_labels(),
+        "y_fake": mk_labels(),
+        "y_real_weights": jnp.asarray(rs.rand(batch, 10), jnp.float32),
+    }
+    ts = trainer.init(jax.random.key(0), b)
+    state = {"ts": ts, "rng": jax.random.key(2)}
+
+    def run_one():
+        state["rng"], sub = jax.random.split(state["rng"])
+        state["ts"], m = trainer.step(state["ts"], b, sub)
+        return m["d_loss"]
+
+    run_one()  # warmup / compile
+    float(state["ts"].step)
+    return _timed_rate(run_one)
+
+
+def main():
+    from rcgan_tpu.utils.compilation_cache import enable as enable_xla_cache
+
+    enable_xla_cache()
+
+    cycles_per_sec, flops_per_cycle, flops_source = bench_cifar()
+    mnist_iters_per_sec = bench_mnist()
+
     print(
         json.dumps(
             {
@@ -89,6 +167,15 @@ def main():
                 "value": round(cycles_per_sec, 4),
                 "unit": "cycles/s (1 G + 5 D steps, batch 64, dim 128)",
                 "vs_baseline": round(cycles_per_sec / REFERENCE_CYCLES_PER_SEC, 4),
+                "vs_baseline_is_estimate": True,
+                "baseline_estimate_cycles_per_sec": REFERENCE_CYCLES_PER_SEC,
+                "tflops_per_sec": round(cycles_per_sec * flops_per_cycle / 1e12, 2),
+                "flops_per_cycle": flops_per_cycle,
+                "flops_source": flops_source,
+                "extra_metrics": {
+                    "mnist_fused_iters_per_sec": round(mnist_iters_per_sec, 4),
+                    "mnist_unit": "iters/s (1 D + 2x(G+C) steps, batch 100)",
+                },
             }
         )
     )

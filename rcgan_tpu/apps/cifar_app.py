@@ -19,7 +19,7 @@ from rcgan_tpu import config as flagslib
 from rcgan_tpu.algorithms.cifar import CifarAlgoConfig
 from rcgan_tpu.data import cifar10 as cifar_data
 from rcgan_tpu.data.confusion import one_coin_matrix
-from rcgan_tpu.evals.classifier import cifar_classifier, generated_label_accuracy
+from rcgan_tpu.evals.classifier import cifar_classifier, generated_label_accuracy, train_pinned
 from rcgan_tpu.evals.inception import inception_score
 from rcgan_tpu.models.resnet_gan import ResnetGANConfig
 from rcgan_tpu.parallel.mesh import make_mesh
@@ -66,19 +66,27 @@ def build_configs(flags, n_devices: int):
     return cfg, acfg, tcfg, batch_size, iters
 
 
-def get_eval_classifier(train_split, cache_dir: str, train_size: int = 20000):
-    """Stand-in for the frozen ResNet-110 scorer, trained on clean labels."""
+def _cifar_images_hwc(split) -> np.ndarray:
+    imgs = split.images.astype(np.float32)
+    imgs = 2.0 * (imgs / 255.0 - 0.5)
+    return imgs.reshape(-1, 3, 32, 32).transpose(0, 2, 3, 1)
+
+
+def get_eval_classifier(train_split, dev_split, cache_dir: str, train_size: int = 20000):
+    """Stand-in for the frozen ResNet-110 scorer, trained on clean labels to
+    convergence and PINNED: its held-out clean accuracy is stored with the
+    weights and re-verified on load (evals.classifier.train_pinned)."""
     cls = cifar_classifier()
     path = os.path.join(cache_dir, "cifar_eval_classifier.pkl")
-    if not cls.load(path):
-        log.info("training CIFAR eval classifier (one-time)...")
-        imgs = train_split.images.astype(np.float32)
-        imgs = 2.0 * (imgs / 255.0 - 0.5)
-        imgs = imgs.reshape(-1, 3, 32, 32).transpose(0, 2, 3, 1)
-        cls.train(jax.random.key(321), imgs[:train_size], train_split.labels_actual[:train_size],
-                  epochs=1)
-        os.makedirs(cache_dir, exist_ok=True)
-        cls.save(path)
+    acc = train_pinned(
+        cls, path,
+        _cifar_images_hwc(train_split)[:train_size],
+        train_split.labels_actual[:train_size],
+        _cifar_images_hwc(dev_split), dev_split.labels_actual,
+        epochs=5, rng=jax.random.key(321),
+    )
+    log.info("CIFAR eval classifier clean accuracy: %.4f (pin %s)",
+             acc, cls.meta.get("clean_accuracy"))
     return cls
 
 
@@ -127,8 +135,9 @@ def infinite_index_batches(split, batch_size, n_critic):
 
 
 def device_dataset_of(split) -> dict:
+    # images stay uint8 in HBM (150 MB, not 600): the dequant kernel widens
     return {
-        "images": split.images.astype(np.int32),
+        "images": split.images,
         "labels": split.labels.astype(np.int32),
         "labels_random": split.labels_random.astype(np.int32),
         "labels_biased": split.labels_biased.astype(np.int32),
@@ -168,7 +177,14 @@ def main(argv=None):
         format="%(asctime)s %(levelname)-8s %(message)s", force=True,
     )
 
-    n_devices = flags.mesh_devices or len(jax.devices())
+    # --ngpus is the reference's device-count flag (gan_resnet.py:53,183-192);
+    # it sets the mesh size unless the rebuild-only --mesh_devices overrides.
+    # The reference aliases its device list when ngpus exceeds the hardware
+    # (gan_resnet.py:187-188) — the SPMD equivalent is capping at the mesh.
+    n_devices = flags.mesh_devices or min(flags.ngpus, len(jax.devices()))
+    if not flags.mesh_devices and flags.ngpus > len(jax.devices()):
+        log.warning("--ngpus %d exceeds available devices (%d); using a %d-device mesh",
+                    flags.ngpus, len(jax.devices()), n_devices)
     mesh = make_mesh(n_devices) if n_devices > 1 else None
     cfg, acfg, tcfg, batch_size, iters = build_configs(flags, n_devices)
 
@@ -206,7 +222,24 @@ def main(argv=None):
     from rcgan_tpu.utils.summary import SummaryWriter
 
     tb = SummaryWriter(ckpt_dir)  # reference writes summaries to CHECKPOINT_DIR
-    eval_cls = get_eval_classifier(train_split, flags.parent_dir, flags.eval_train_size)
+    eval_cls = get_eval_classifier(train_split, dev_split, flags.parent_dir, flags.eval_train_size)
+
+    # Inception scorer: real Inception-v3 (paper 11.31-anchor scale) when its
+    # weights are dropped at <data_dir>/inception_v3.npz, else the compact
+    # stand-in classifier (self-consistent, NOT on the paper scale).
+    from rcgan_tpu.evals import inception_v3
+
+    iv3_path = inception_v3.find_weights(flags.data_dir)
+    if iv3_path is not None:
+        iv3_params = inception_v3.load_weights(iv3_path)
+        inception_v3.validate_weights(iv3_params)
+        inception_logits_fn = inception_v3.make_logits_fn(iv3_params)
+        log.info("inception scorer: Inception-v3 from %s (paper-scale; real-CIFAR "
+                 "anchor ~11.31, inception_score_.py:82)", iv3_path)
+    else:
+        inception_logits_fn = lambda x: eval_cls.logits(eval_cls.params, x)
+        log.info("inception scorer: compact stand-in (drop inception_v3.npz into "
+                 "%s for paper-scale scores)", flags.data_dir)
 
     from rcgan_tpu.data.pipeline import Prefetcher
 
@@ -289,7 +322,7 @@ def main(argv=None):
             log.info("starting inception score computation.")
             score, std = inception_score(
                 sample_fn=lambda key, b: _sample_images_for_cls(trainer, ts, cfg, key, b),
-                logits_fn=lambda x: eval_cls.logits(eval_cls.params, x),
+                logits_fn=inception_logits_fn,
                 n=50000, batch=500,
             )
             inception_score_max = max(inception_score_max, score)

@@ -19,7 +19,7 @@ from rcgan_tpu import config as flagslib
 from rcgan_tpu.algorithms.mnist import MnistAlgoConfig
 from rcgan_tpu.data import mnist as mnist_data
 from rcgan_tpu.data.confusion import one_coin_matrix
-from rcgan_tpu.evals.classifier import generated_label_accuracy, mnist_classifier
+from rcgan_tpu.evals.classifier import generated_label_accuracy, mnist_classifier, train_pinned
 from rcgan_tpu.evals.recover import RecoverConfig, recover_labels
 from rcgan_tpu.models.dcgan import DCGANConfig
 from rcgan_tpu.train.checkpoint import Checkpointer
@@ -59,15 +59,21 @@ def build_configs(flags):
 
 
 def get_eval_classifier(data: mnist_data.MnistData, cache_dir: str, train_size: int = 60000):
-    """Train-once-and-cache stand-in for the missing frozen ``mnist_dcnn``
-    classifier (SURVEY §2 M10)."""
+    """Stand-in for the missing frozen ``mnist_dcnn`` classifier (SURVEY §2
+    M10), trained to convergence on clean labels and PINNED: held-out clean
+    accuracy is stored with the weights and re-verified on load."""
     cls = mnist_classifier()
     path = os.path.join(cache_dir, "mnist_eval_classifier.pkl")
-    if not cls.load(path):
-        log.info("training MNIST eval classifier (one-time)...")
-        cls.train(jax.random.key(123), data.x[:train_size], data.y_actual[:train_size], epochs=1)
-        os.makedirs(cache_dir, exist_ok=True)
-        cls.save(path)
+    n_val = min(5000, len(data) // 10)
+    n_train = min(train_size, len(data) - n_val)
+    acc = train_pinned(
+        cls, path,
+        data.x[:n_train], data.y_actual[:n_train],
+        data.x[len(data) - n_val:], data.y_actual[len(data) - n_val:],
+        epochs=3, rng=jax.random.key(123),
+    )
+    log.info("MNIST eval classifier clean accuracy: %.4f (pin %s)",
+             acc, cls.meta.get("clean_accuracy"))
     return cls
 
 

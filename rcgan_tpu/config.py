@@ -34,7 +34,7 @@ class FlagParser(argparse.ArgumentParser):
 def mnist_flags() -> FlagParser:
     """The 34 MNIST flags (``mnist/main.py:12-66``), same names/defaults."""
     p = FlagParser(description="rcgan_tpu MNIST trainer")
-    p.define_integer("epoch", 5, "Epochs to train")
+    p.define_integer("epoch", 25, "Epochs to train")
     p.define_float("learning_rate", 0.0002, "Adam learning rate")
     p.define_float("beta1", 0.5, "Adam beta1")
     p.define_float("train_size", float("inf"), "Max train images")
@@ -106,7 +106,8 @@ def cifar_flags() -> FlagParser:
     p.define_integer("batch_size", 64, "Critic batch size")
     p.define_integer("niters", 50000, "Iterations")
     p.define_float("lr", 2.0e-4, "Learning rate")
-    p.define_integer("ngpus", 2, "Device count (now: mesh size)")
+    p.define_integer("ngpus", 2, "Device count — sets the data-mesh size "
+                     "(capped at available devices; --mesh_devices overrides)")
     p.define_boolean("multi_gpu_multi_batch", True,
                      "Scale global batch by device count, divide iters")
     p.define_boolean("confuse_init", False, "Diagonal-dominant C-logits init")
@@ -134,7 +135,9 @@ def cifar_flags() -> FlagParser:
     # rebuild-only extensions
     p.define_string("compute_dtype", "bfloat16", "bfloat16|float32 compute")
     p.define_boolean("allow_synthetic", True, "Use synthetic data when files missing")
-    p.define_integer("mesh_devices", 0, "Data-mesh size (0 = all local devices)")
+    p.define_integer("mesh_devices", 0,
+                     "Data-mesh size override (0 = follow --ngpus, capped at "
+                     "available devices)")
     p.define_integer("eval_train_size", 20000, "Eval-classifier training examples")
     p.define_integer("synthetic_train_size", 50000, "Synthetic dataset size")
     p.define_integer("profile_steps", 0, "Capture a jax.profiler trace of N warm steps")

@@ -60,27 +60,82 @@ def _unpickle(path: str):
     return d[b"data"], np.asarray(d[b"labels"])
 
 
-def synthetic_cifar(n: int, seed: int = 0):
-    """Smooth class-deterministic color blobs (CHW-flat uint8, CIFAR pickle
-    layout).  Smooth/low-frequency on purpose — see
-    ``data.mnist.synthetic_digits`` for why."""
-    rs = np.random.RandomState(seed)
-    yy, xx = np.mgrid[0:32, 0:32].astype(np.float32)
-    templates = np.zeros((10, 3, 32, 32), np.float32)
-    centers = rs.rand(10, 3, 2).astype(np.float32) * 24 + 4
-    widths = (rs.rand(10, 3).astype(np.float32) * 4.0 + 3.0) ** 2
-    colors = rs.rand(10, 3, 3).astype(np.float32)  # [class, blob, rgb]
-    for c in range(10):
-        for b in range(3):
-            cy, cx = centers[c, b]
-            blob = np.exp(-((yy - cy) ** 2 + (xx - cx) ** 2) / (2 * widths[c, b]))
-            templates[c] += colors[c, b][:, None, None] * blob
-    templates = np.clip(templates, 0.0, 1.0).reshape(10, OUTPUT_DIM)
+def synthetic_cifar(n: int, seed: int = 0, chunk: int = 4096, image_seed: int | None = None):
+    """Class-conditional image FAMILY with continuous intra-class variation
+    (CHW-flat uint8, CIFAR pickle layout).
+
+    Round-1 used 10 fixed smooth templates; at reference size (dim 128) the
+    discriminator memorized them (hinge d_cost → 0 by ~10k iters) and the
+    generator received saturated gradients, so full-size conditioning could
+    not be demonstrated (VERDICT r1 item 1).  This generator draws every
+    image from a per-class *distribution* instead of a template:
+
+    - a smooth color-gradient background (class-tinted, random orientation);
+    - two Gaussian blobs whose centers/widths/colors jitter around
+      class-specific means (geometric + color intra-class variation);
+    - an oriented sinusoidal grating at 2-6 cycles/image (mid-frequency
+      content a deconv generator can reproduce, unlike the binary-mask noise
+      documented in QUALITY.md round 1), with class-dependent orientation
+      and per-image frequency/phase jitter.
+
+    Effectively infinitely many "templates" per class: the discriminator
+    cannot win by memorization, which keeps full-size D/G balanced, while
+    class identity (blob layout + palette + grating orientation) stays
+    trivially decodable for the pinned eval classifier.
+    """
+    # ``seed`` fixes the per-class DISTRIBUTION parameters; ``image_seed``
+    # (default: seed) draws the per-image samples.  Train/test splits must
+    # share ``seed`` (same classes!) and differ only in ``image_seed``.
+    rs_cls = np.random.RandomState(seed)
+    rs = np.random.RandomState(seed if image_seed is None else image_seed)
+    yy, xx = np.mgrid[0:32, 0:32].astype(np.float32) / 32.0  # [0,1)
+
+    # per-class distribution parameters
+    cls_blob_centers = rs_cls.rand(10, 2, 2).astype(np.float32) * 0.6 + 0.2  # [cls, blob, yx]
+    cls_blob_colors = rs_cls.rand(10, 2, 3).astype(np.float32) * 0.8 + 0.2
+    cls_bg_color = rs_cls.rand(10, 3).astype(np.float32) * 0.5
+    cls_theta = (np.arange(10) * np.pi / 10 + rs_cls.rand(10) * 0.1).astype(np.float32)
+    cls_freq = (2.0 + (np.arange(10) % 4) + rs_cls.rand(10)).astype(np.float32)
+    cls_grating_color = rs_cls.rand(10, 3).astype(np.float32) * 0.6 + 0.2
 
     labels = rs.randint(10, size=n).astype(np.int64)
-    gain = (0.75 + 0.5 * rs.rand(n, 1)).astype(np.float32)
-    imgs = templates[labels] * gain + 0.02 * rs.randn(n, OUTPUT_DIM).astype(np.float32)
-    return (np.clip(imgs, 0.0, 1.0) * 255).astype(np.uint8), labels
+    out = np.empty((n, OUTPUT_DIM), np.uint8)
+    for lo in range(0, n, chunk):
+        hi = min(lo + chunk, n)
+        m = hi - lo
+        y = labels[lo:hi]
+        img = np.empty((m, 3, 32, 32), np.float32)
+
+        # background: smooth linear gradient in a random direction
+        bg_theta = rs.rand(m, 1, 1).astype(np.float32) * (2 * np.pi)
+        ramp = (xx * np.cos(bg_theta) + yy * np.sin(bg_theta) + 1.0) * 0.5  # [m,32,32]
+        img[:] = cls_bg_color[y][:, :, None, None] * ramp[:, None]
+
+        # two jittered class blobs
+        for b in range(2):
+            c_yx = cls_blob_centers[y, b] + rs.randn(m, 2).astype(np.float32) * 0.06
+            width = (0.10 + 0.05 * rs.rand(m).astype(np.float32)) ** 2
+            d2 = (yy - c_yx[:, 0, None, None]) ** 2 + (xx - c_yx[:, 1, None, None]) ** 2
+            blob = np.exp(-d2 / (2 * width[:, None, None]))
+            color = np.clip(
+                cls_blob_colors[y, b] + 0.1 * rs.randn(m, 3).astype(np.float32), 0, 1
+            )
+            img += color[:, :, None, None] * blob[:, None]
+
+        # oriented mid-frequency grating
+        theta = cls_theta[y] + rs.randn(m).astype(np.float32) * 0.15
+        freq = cls_freq[y] + rs.rand(m).astype(np.float32) - 0.5
+        phase = rs.rand(m).astype(np.float32) * (2 * np.pi)
+        carrier = np.sin(
+            2 * np.pi * freq[:, None, None]
+            * (xx * np.cos(theta)[:, None, None] + yy * np.sin(theta)[:, None, None])
+            + phase[:, None, None]
+        )
+        img += 0.18 * cls_grating_color[y][:, :, None, None] * carrier[:, None]
+
+        img += 0.02 * rs.randn(m, 3, 32, 32).astype(np.float32)
+        out[lo:hi] = (np.clip(img, 0.0, 1.0) * 255).astype(np.uint8).reshape(m, OUTPUT_DIM)
+    return out, labels
 
 
 def _make_split(images, labels_actual, alpha: float, seed: int) -> CifarSplit:
@@ -124,8 +179,9 @@ def load(
         train_x, train_y = read(TRAIN_FILES)
         test_x, test_y = read(TEST_FILES)
     elif allow_synthetic:
+        # same class universe (seed), fresh image draws (image_seed)
         train_x, train_y = synthetic_cifar(synthetic_train_size, seed)
-        test_x, test_y = synthetic_cifar(synthetic_test_size, seed + 7)
+        test_x, test_y = synthetic_cifar(synthetic_test_size, seed, image_seed=seed + 7)
     else:
         raise FileNotFoundError(f"CIFAR-10 batches not found under {data_dir}")
 
@@ -144,4 +200,19 @@ def dequantize_chw_to_hwc(x_int, key, img_size: int = 32, img_dim: int = 3):
     x = 2.0 * (x_int.astype(jnp.float32) / 256.0 - 0.5)
     x = x + jax.random.uniform(key, x.shape, jnp.float32, 0.0, 1.0 / 128.0)
     x = x.reshape(-1, img_dim, img_size, img_size).transpose(0, 2, 3, 1)
+    return x.reshape(-1, img_size * img_size * img_dim)
+
+
+def dequantize_chw_to_hwc_keys(x_int, keys, img_size: int = 32, img_dim: int = 3):
+    """Per-example-keyed variant of :func:`dequantize_chw_to_hwc`:
+    ``keys`` is [B] PRNG keys (see ``core.rng.example_keys``), so the noise
+    an example receives is independent of how the batch is sharded —
+    required for the tight DP-equivalence property (core/rng.py)."""
+    import jax
+    import jax.numpy as jnp
+
+    d = x_int.shape[-1]
+    x = 2.0 * (x_int.astype(jnp.float32) / 256.0 - 0.5)
+    u = jax.vmap(lambda k: jax.random.uniform(k, (d,), jnp.float32, 0.0, 1.0 / 128.0))(keys)
+    x = (x + u).reshape(-1, img_dim, img_size, img_size).transpose(0, 2, 3, 1)
     return x.reshape(-1, img_size * img_size * img_dim)

@@ -75,6 +75,7 @@ class EvalClassifier:
         self.net = net
         self.input_shape = input_shape
         self.params = None
+        self.meta: dict = {}
 
     def init(self, rng: jax.Array):
         ctx = Ctx(rng=rng, init=True)
@@ -135,17 +136,81 @@ class EvalClassifier:
                 )
         return float(acc)
 
+    def accuracy(self, x: np.ndarray, y: np.ndarray) -> float:
+        """Top-1 accuracy on (clean) data — the classifier's yardstick."""
+        return float((self.predict(x) == np.asarray(y)).mean())
+
     # ------------------------------------------------------- persistence
-    def save(self, path: str):
+    def save(self, path: str, meta: dict | None = None):
+        if meta is not None:
+            self.meta = dict(meta)
         with open(path, "wb") as f:
-            pickle.dump(jax.tree_util.tree_map(np.asarray, self.params), f)
+            pickle.dump(
+                {"params": jax.tree_util.tree_map(np.asarray, self.params),
+                 "meta": self.meta},
+                f,
+            )
 
     def load(self, path: str) -> bool:
         if not os.path.exists(path):
             return False
         with open(path, "rb") as f:
-            self.params = pickle.load(f)
+            blob = pickle.load(f)
+        if isinstance(blob, dict) and "params" in blob and "meta" in blob:
+            self.params, self.meta = blob["params"], blob["meta"]
+        else:  # legacy cache: raw param tree, no pin
+            self.params, self.meta = blob, {}
         return True
+
+
+# A cached classifier may regress (stale cache, changed data regime); the
+# gen-label-acc yardstick is only meaningful when the scorer itself is good,
+# so loading fails loudly when re-measured clean accuracy drops below the
+# pinned value by more than this.
+PIN_TOLERANCE = 0.02
+
+
+def train_pinned(
+    cls: EvalClassifier,
+    path: str,
+    x_train: np.ndarray,
+    y_train: np.ndarray,
+    x_val: np.ndarray,
+    y_val: np.ndarray,
+    epochs: int = 5,
+    rng: jax.Array | None = None,
+    max_val: int = 5000,
+) -> float:
+    """Load-or-train an eval classifier with a PINNED clean-data accuracy.
+
+    The reference pins its scorers as frozen graphs (ResNet-110
+    ``cifar10/gan_resnet.py:424-455``; mnist_dcnn ``mnist/utils.py:273-306``)
+    so every gen-label-acc number has a fixed yardstick.  Here the pin is
+    the classifier's measured accuracy on held-out CLEAN data, stored with
+    the weights; a cached classifier that re-scores below its pin raises.
+
+    Returns the clean accuracy (the number QUALITY.md rows must cite).
+    """
+    xv, yv = x_val[:max_val], y_val[:max_val]
+    if cls.load(path):
+        pinned = cls.meta.get("clean_accuracy")
+        if pinned is not None:
+            acc = cls.accuracy(xv, yv)
+            if acc < pinned - PIN_TOLERANCE:
+                raise RuntimeError(
+                    f"cached eval classifier {path} scores {acc:.4f} on clean "
+                    f"data, below its pin {pinned:.4f} (tol {PIN_TOLERANCE}); "
+                    "delete the cache to retrain"
+                )
+            return acc
+        # legacy cache without a pin: fall through and retrain to create one
+
+    cls.train(rng if rng is not None else jax.random.key(123), x_train, y_train, epochs=epochs)
+    acc = cls.accuracy(xv, yv)
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    cls.save(path, meta={"clean_accuracy": acc, "version": 2, "epochs": epochs,
+                         "n_train": int(len(x_train))})
+    return acc
 
 
 def mnist_classifier() -> EvalClassifier:

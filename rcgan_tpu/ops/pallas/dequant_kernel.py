@@ -5,6 +5,11 @@ Fuses the reference's real-data preamble (``cifar10/gan_resnet.py:548-551``)
 CHW→HWC permutation — into one pass using the on-core PRNG
 (``pltpu.prng_random_bits``), removing the host-side RNG tensor and two
 intermediate HBM round trips per critic step.
+
+The PRNG is seeded PER ROW from a [B] seed vector so each example's noise
+depends only on its own seed — with seeds derived from global batch
+indices (``core.rng.example_keys``) the noise is identical under any
+data-sharding layout (the DP-equivalence property; see core/rng.py).
 """
 
 from __future__ import annotations
@@ -19,8 +24,8 @@ from rcgan_tpu.ops.pallas import runtime
 
 
 def _kernel(seed_ref, x_ref, out_ref):
-    pltpu.prng_seed(seed_ref[0])
-    x = x_ref[:].astype(jnp.float32)  # [B, 3072] CHW-flat
+    pltpu.prng_seed(seed_ref[pl.program_id(0)])
+    x = x_ref[:].astype(jnp.float32)  # [1, D//128, 128] CHW-flat row
     x = 2.0 * (x / 256.0 - 0.5)
     # prng_random_bits yields signed int32 on TPU; a plain >> would
     # arithmetic-shift the sign bit (noise centered at 0 instead of
@@ -32,23 +37,29 @@ def _kernel(seed_ref, x_ref, out_ref):
     out_ref[:] = x + u
 
 
-def dequantize_chw_flat(x_int: jax.Array, seed: jax.Array) -> jax.Array:
+def dequantize_chw_flat(x_int: jax.Array, seeds: jax.Array) -> jax.Array:
     """[B, 3072] int (uint8 values) → [B, 3072] float in [-1, 1+1/128),
-    still CHW-flat; use :func:`chw_to_hwc_flat` after (XLA fuses the
-    transpose into the consumer)."""
+    still CHW-flat; ``seeds`` is a [B] int32 per-row seed vector (a scalar
+    is broadcast to ``seed + arange(B)``).  Use :func:`chw_to_hwc_flat`
+    after (XLA fuses the transpose into the consumer)."""
     b, d = x_int.shape
+    assert d % 128 == 0, "dequant kernel needs the row dim lane-aligned"
+    s = d // 128  # row as a [S, 128] tile: sublane dim S=24 for CIFAR
+    seeds = jnp.asarray(seeds, jnp.int32)
+    if seeds.ndim == 0:
+        seeds = seeds + jnp.arange(b, dtype=jnp.int32)
     out = pl.pallas_call(
         _kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
-            grid=(),
-            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
-            out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+            grid=(b,),
+            in_specs=[pl.BlockSpec((1, s, 128), lambda i, seed_ref: (i, 0, 0))],
+            out_specs=pl.BlockSpec((1, s, 128), lambda i, seed_ref: (i, 0, 0)),
         ),
-        out_shape=jax.ShapeDtypeStruct((b, d), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((b, s, 128), jnp.float32),
         interpret=runtime.interpret_mode(),
-    )(jnp.atleast_1d(seed).astype(jnp.int32), x_int.astype(jnp.int32))
-    return out
+    )(seeds, x_int.astype(jnp.int32).reshape(b, s, 128))
+    return out.reshape(b, d)
 
 
 def chw_to_hwc_flat(x: jax.Array, img_size: int = 32, img_dim: int = 3) -> jax.Array:
@@ -60,7 +71,7 @@ def chw_to_hwc_flat(x: jax.Array, img_size: int = 32, img_dim: int = 3) -> jax.A
     )
 
 
-def dequantize_fused(x_int: jax.Array, seed: jax.Array, img_size: int = 32, img_dim: int = 3):
+def dequantize_fused(x_int: jax.Array, seeds: jax.Array, img_size: int = 32, img_dim: int = 3):
     """Drop-in for ``data.cifar10.dequantize_chw_to_hwc`` on TPU (PRNG stream
     differs from jax.random — same distribution)."""
-    return chw_to_hwc_flat(dequantize_chw_flat(x_int, seed), img_size, img_dim)
+    return chw_to_hwc_flat(dequantize_chw_flat(x_int, seeds), img_size, img_dim)

@@ -8,10 +8,12 @@ dependencies / collections; here it is explicit state on the :class:`Ctx`,
 gated by ``ctx.update_sn`` (the ``NO_OPS`` convention used during CIFAR
 generator steps, ``cifar10/gan_resnet.py:723,729``).
 
-TPU notes: the matvecs are tiny (``m x cout`` with cout<=1152), so the win is
-keeping everything in one fused XLA program; ``sigma`` is computed in float32
-regardless of compute dtype.  A Pallas fused variant lives in
-``rcgan_tpu.ops.pallas.sn_kernel`` for the large-filter case.
+TPU notes: ``sigma`` is computed in float32 regardless of compute dtype.  On
+TPU the whole call (reshape → matvecs → normalize → ``W/sigma``) runs as ONE
+Pallas kernel (``rcgan_tpu.ops.pallas.sn_kernel``) with ``W`` resident in
+VMEM and a flow-through-power-iteration VJP; weights past the VMEM budget
+(none in the flagship configs) and ``num_iters != 1`` take the XLA-fused
+jnp path below — identical math.
 """
 
 from __future__ import annotations
@@ -48,6 +50,18 @@ def spectral_normed_weight(
 
     u = ctx.stat(layer, "u", (1, cout), inits.truncated_normal(1.0))
     u = u.astype(jnp.float32)
+
+    from rcgan_tpu.ops.pallas import pallas_enabled
+    from rcgan_tpu.ops.pallas.sn_kernel import fits_fused, sn_fused
+
+    if num_iters == 1 and pallas_enabled() and fits_fused(*w_mat.shape):
+        w_bar, u_f, sigma = sn_fused(w_mat, u)
+        if ctx.update_sn:
+            ctx.put_stat(layer, "u", jax.lax.stop_gradient(u_f))
+        w_bar = w_bar.reshape(w_shape).astype(w.dtype)
+        if with_sigma:
+            return w_bar, sigma
+        return w_bar
 
     def body(_, carry):
         u_i, _v = carry

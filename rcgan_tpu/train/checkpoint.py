@@ -51,6 +51,44 @@ class Checkpointer:
         self.mgr.wait_until_finished()
         return self.mgr.latest_step()
 
+    def restore_sharded(
+        self,
+        ts_template: TrainState,
+        shardings: TrainState,
+        step: Optional[int] = None,
+    ) -> Optional[TrainState]:
+        """Restore a (possibly GSPMD-sharded) checkpoint directly onto a
+        device mesh: each leaf is materialized with the requested
+        ``NamedSharding`` (per-shard reads via orbax's OCDBT/zarr layout —
+        no full-array host staging), so a state saved from one mesh shape
+        restores onto any other.  ``shardings``: a TrainState-shaped tree of
+        ``jax.sharding.Sharding`` (see ``parallel.gspmd.train_state_shardings``).
+        """
+        self.mgr.wait_until_finished()
+        step = step if step is not None else self.mgr.latest_step()
+        if step is None:
+            return None
+
+        def abstract(x, sh):
+            x = jax.numpy.asarray(x)
+            return jax.ShapeDtypeStruct(x.shape, x.dtype, sharding=sh)
+
+        template = {
+            "groups": jax.tree_util.tree_map(abstract, ts_template.groups, shardings.groups),
+            "state": jax.tree_util.tree_map(abstract, ts_template.state, shardings.state),
+            "opt_states": jax.tree_util.tree_map(
+                abstract, ts_template.opt_states, shardings.opt_states
+            ),
+            "step": abstract(ts_template.step, shardings.step),
+        }
+        restored = self.mgr.restore(step, args=ocp.args.StandardRestore(template))
+        return TrainState(
+            groups=restored["groups"],
+            state=restored["state"],
+            opt_states=restored["opt_states"],
+            step=restored["step"],
+        )
+
     def restore(self, ts_template: TrainState, step: Optional[int] = None) -> Optional[TrainState]:
         """Restore into the template's structure; None when no checkpoint."""
         self.mgr.wait_until_finished()

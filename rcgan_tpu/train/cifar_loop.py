@@ -30,7 +30,8 @@ from rcgan_tpu.algorithms.cifar import (
     lr_decay,
     partition_predicates,
 )
-from rcgan_tpu.data.cifar10 import dequantize_chw_to_hwc
+from rcgan_tpu.core.rng import example_keys, example_normal
+from rcgan_tpu.data.cifar10 import dequantize_chw_to_hwc, dequantize_chw_to_hwc_keys
 from rcgan_tpu.models.resnet_gan import ResnetGANConfig, generator
 from rcgan_tpu.train.state import (
     TrainState,
@@ -103,16 +104,17 @@ class CifarTrainer:
         return init_train_state(ctx.params, ctx.updated_state(), preds, self.optimizers)
 
     # ------------------------------------------------------- cycle body
-    def _cycle(self, ts: TrainState, d_batches: dict, g_labels: dict, iteration, rng, axis=None):
+    def _cycle(self, ts: TrainState, d_batches: dict, g_labels: dict, iteration, rng,
+               axis=None, dataset=None):
         """Body run per device-shard.  ``d_batches`` leaves have leading dim
         [n_critic, local_b]; ``g_labels`` leaves [gen_bs_multiple*local_b].
         ``axis``: mesh axis name when running under shard_map, else None.
         """
         cfg, acfg, tcfg = self.cfg, self.acfg, self.tcfg
-        if axis is not None:
-            # independent noise per shard (the reference samples fresh
-            # tf.random_normal per tower, gan_resnet.py:359)
-            rng = jax.random.fold_in(rng, jax.lax.axis_index(axis))
+        # All per-example noise (z, dequantization) is keyed by GLOBAL batch
+        # index (core/rng.py), so the sharded cycle equals the unsharded one
+        # to float tolerance — the reference's device-aliasing property
+        # (gan_resnet.py:187-188) as a tight invariant.
 
         def pavg(tree):
             if axis is None:
@@ -132,8 +134,8 @@ class CifarTrainer:
         # (gan_resnet.py:928-934).
         def g_step(operand):
             groups, state, opt_states = operand
-            zg = jax.random.normal(
-                jax.random.fold_in(rng, 1), (g_labels["random"].shape[0], cfg.z_dim), jnp.float32
+            zg = example_normal(
+                jax.random.fold_in(rng, 1), g_labels["random"].shape[0], cfg.z_dim, axis
             )
 
             def g_loss_fn(g_params, c_params, state):
@@ -173,24 +175,29 @@ class CifarTrainer:
         def d_step(carry, inp):
             disc_params, d_opt_state, state = carry
             batch, k = inp
-            if self.device_dataset is not None:
+            if dataset is not None:
                 # batch is {'index': [local_b] int32}: gather the resident
                 # dataset rows on device — no host transfer on the hot path.
+                # The dataset is a RUNTIME ARGUMENT, not a traced constant:
+                # closing over it embeds ~600 MB in the HLO (fatal through a
+                # remote-compile tunnel, and recompiles on every new array).
                 idx = batch["index"]
-                batch = {
-                    k2: jnp.take(v, idx, axis=0) for k2, v in self.device_dataset.items()
-                }
+                batch = {k2: jnp.take(v, idx, axis=0) for k2, v in dataset.items()}
             kz, kq = jax.random.split(k)
+            local_b = batch["images"].shape[0]
+            q_keys = example_keys(kq, local_b, axis)
             from rcgan_tpu.ops.pallas import pallas_enabled
 
             if pallas_enabled():
                 from rcgan_tpu.ops.pallas.dequant_kernel import dequantize_fused
 
-                seed = jax.random.randint(kq, (), 0, 2**31 - 1)
-                real = dequantize_fused(batch["images"], seed, cfg.img_size, cfg.img_dim)
+                seeds = jax.vmap(lambda kk: jax.random.randint(kk, (), 0, 2**31 - 1))(q_keys)
+                real = dequantize_fused(batch["images"], seeds, cfg.img_size, cfg.img_dim)
             else:
-                real = dequantize_chw_to_hwc(batch["images"], kq, cfg.img_size, cfg.img_dim)
-            z = jax.random.normal(kz, (real.shape[0], cfg.z_dim), jnp.float32)
+                real = dequantize_chw_to_hwc_keys(
+                    batch["images"], q_keys, cfg.img_size, cfg.img_dim
+                )
+            z = example_normal(kz, local_b, cfg.z_dim, axis)
             sb = {
                 "real_data": real,
                 "labels": batch["labels"],
@@ -235,23 +242,24 @@ class CifarTrainer:
     @functools.cached_property
     def _jitted_cycle(self):
         if self.mesh is None:
-            return jax.jit(lambda ts, db, gl, it, rng: self._cycle(ts, db, gl, it, rng, None),
-                           donate_argnums=0)
+            return jax.jit(
+                lambda ts, db, gl, it, rng, ds: self._cycle(ts, db, gl, it, rng, None, ds),
+                donate_argnums=0,
+            )
 
         mesh = self.mesh
         repl = P()
         data2 = P(None, "data")  # [n_critic, batch] sharded on batch
         data1 = P("data")
 
-        body = functools.partial(self._cycle)
-
-        def sharded(ts, d_batches, g_labels, iteration, rng):
-            return body(ts, d_batches, g_labels, iteration, rng, axis="data")
+        def sharded(ts, d_batches, g_labels, iteration, rng, dataset):
+            return self._cycle(ts, d_batches, g_labels, iteration, rng,
+                               axis="data", dataset=dataset)
 
         mapped = shard_map(
             sharded,
             mesh=mesh,
-            in_specs=(repl, data2, data1, repl, repl),
+            in_specs=(repl, data2, data1, repl, repl, repl),
             out_specs=(repl, repl),
             check_vma=False,
         )
@@ -259,8 +267,11 @@ class CifarTrainer:
 
     def step(self, ts: TrainState, d_batches: dict, g_labels: dict, iteration, rng):
         """``d_batches``: dict of arrays with leading dims [n_critic, B];
-        ``g_labels``: {'random','biased'} int arrays [gen_bs_multiple*B]."""
-        return self._jitted_cycle(ts, d_batches, g_labels, jnp.asarray(iteration, jnp.int32), rng)
+        ``g_labels``: {'random','biased'} int arrays [gen_bs_multiple*B].
+        With a device-resident dataset, ``d_batches`` is {'index': [n_critic,
+        B] int32} and the dataset rides along as a runtime argument."""
+        return self._jitted_cycle(ts, d_batches, g_labels, jnp.asarray(iteration, jnp.int32),
+                                  rng, self.device_dataset)
 
     # -------------------------------------------------------------- eval
     @functools.partial(jax.jit, static_argnums=0)

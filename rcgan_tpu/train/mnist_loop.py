@@ -19,6 +19,7 @@ import jax
 import jax.numpy as jnp
 
 from rcgan_tpu.core.module import Ctx, merge
+from rcgan_tpu.core.rng import example_uniform
 from rcgan_tpu.algorithms.mnist import MnistAlgoConfig, mnist_losses, partition_predicates
 from rcgan_tpu.models.dcgan import DCGANConfig, generator
 from rcgan_tpu.train.state import (
@@ -85,17 +86,15 @@ class MnistTrainer:
         shard_map data axis when running data-parallel."""
         cfg, acfg, tcfg = self.cfg, self.acfg, self.tcfg
         lr = tcfg.learning_rate
-        if axis is not None:
-            # distinct z per shard, same across replicas of the step
-            rng = jax.random.fold_in(rng, jax.lax.axis_index(axis))
 
         def pavg(tree):
             if axis is None:
                 return tree
             return jax.tree_util.tree_map(lambda x: jax.lax.pmean(x, axis), tree)
 
-        z = jax.random.uniform(
-            jax.random.fold_in(rng, 0), (batch["images"].shape[0], cfg.z_dim), jnp.float32, -1.0, 1.0
+        # z keyed by GLOBAL example index (core/rng.py): sharded == unsharded
+        z = example_uniform(
+            jax.random.fold_in(rng, 0), batch["images"].shape[0], cfg.z_dim, axis, -1.0, 1.0
         )
 
         groups = dict(ts.groups)

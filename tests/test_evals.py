@@ -56,6 +56,43 @@ def test_classifier_learns_separable_data():
     del perm_c
 
 
+def test_train_pinned_roundtrip_and_regression_guard(tmp_path):
+    """Pinned eval classifiers (VERDICT r1 item 3): training records the
+    clean accuracy with the weights; a cached classifier re-scoring below
+    its pin fails loudly."""
+    import pickle
+
+    import pytest
+
+    from rcgan_tpu.evals.classifier import train_pinned
+
+    rs = np.random.RandomState(1)
+    templates = (rs.rand(10, 28, 28, 1) > 0.5).astype(np.float32)
+    y = rs.randint(10, size=1024)
+    x = templates[y] + 0.05 * rs.randn(1024, 28, 28, 1).astype(np.float32)
+    path = str(tmp_path / "cls.pkl")
+
+    cls = mnist_classifier()
+    acc = train_pinned(cls, path, x[:768], y[:768], x[768:], y[768:], epochs=2)
+    assert acc > 0.9
+    assert cls.meta["clean_accuracy"] == acc
+
+    # reload: verifies against the pin and returns without retraining
+    cls2 = mnist_classifier()
+    acc2 = train_pinned(cls2, path, x[:768], y[:768], x[768:], y[768:], epochs=2)
+    assert acc2 >= acc - 0.02
+
+    # corrupt the cache so it scores ~chance: loading must raise
+    with open(path, "rb") as f:
+        blob = pickle.load(f)
+    blob["params"] = jax.tree_util.tree_map(lambda a: np.zeros_like(a), blob["params"])
+    with open(path, "wb") as f:
+        pickle.dump(blob, f)
+    cls3 = mnist_classifier()
+    with pytest.raises(RuntimeError, match="below its pin"):
+        train_pinned(cls3, path, x[:768], y[:768], x[768:], y[768:], epochs=2)
+
+
 def test_recover_labels_toy_generator():
     """Toy 'generator' producing class-colored constant images: recovery must
     find the right labels."""

@@ -61,6 +61,77 @@ def test_cond_batchnorm_bhwc_wrapper_matches_op():
     np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.parametrize(
+    "b,s,c",
+    [
+        (128, 1024, 128),  # generator 32x32 map — previously XLA fallback
+        (128, 256, 128),  # generator 16x16 at gen-batch 128
+        (64, 256, 128),  # critic-batch 16x16
+    ],
+)
+def test_cond_batchnorm_fused_covers_flagship_shapes(b, s, c):
+    """The tiled two-pass kernel must handle every LARGE flagship generator
+    map (VERDICT r1: the old single-block kernel excluded >=16^2 at batch
+    64).  Tiny maps (<6 MB) deliberately route to XLA — see _MIN_FUSED_BYTES."""
+    from rcgan_tpu.ops.pallas.norm_kernel import should_fuse
+
+    assert should_fuse(b, s, c), "flagship shape must not fall back"
+    rs = np.random.RandomState(b + s)
+    x = jnp.asarray(rs.randn(b, s, c).astype(np.float32))
+    scale = jnp.asarray(1.0 + 0.1 * rs.randn(b, c).astype(np.float32))
+    offset = jnp.asarray(0.1 * rs.randn(b, c).astype(np.float32))
+    out = cond_batchnorm_fused(x, scale, offset, 1e-5)
+    xn = np.asarray(x)
+    mean = np.mean(xn, axis=(0, 1), keepdims=True)
+    var = np.var(xn, axis=(0, 1), keepdims=True)
+    ref = (xn - mean) / np.sqrt(var + 1e-5)
+    ref = ref * np.asarray(scale)[:, None, :] + np.asarray(offset)[:, None, :]
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-3, atol=1e-4)
+
+
+def test_sn_fused_matches_jnp_math_and_svd_oracle():
+    from rcgan_tpu.ops.pallas.sn_kernel import fits_fused, sn_fused, sn_math
+
+    rs = np.random.RandomState(5)
+    w = jnp.asarray(rs.randn(1152, 128).astype(np.float32))  # 3x3x128 -> 128
+    u0 = jnp.asarray(rs.randn(1, 128).astype(np.float32))
+    assert fits_fused(1152, 128)
+
+    wbar, unew, sigma = sn_fused(w, u0)
+    wbar_r, unew_r, sigma_r = sn_math(w, u0)
+    np.testing.assert_allclose(np.asarray(wbar), np.asarray(wbar_r), rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(unew), np.asarray(unew_r), rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(float(sigma), float(sigma_r), rtol=1e-5)
+
+    # one power-iteration sigma is a lower bound within ~10% of true sigma_max
+    # for a warm-started u; with a cold random u just check the bound+scale
+    svd_sigma = float(np.linalg.svd(np.asarray(w), compute_uv=False)[0])
+    assert float(sigma) <= svd_sigma * (1 + 1e-4)
+    assert float(sigma) > 0.5 * svd_sigma
+
+
+def test_sn_fused_gradients_flow_through_power_iteration():
+    from rcgan_tpu.ops.pallas.sn_kernel import sn_fused, sn_math
+
+    rs = np.random.RandomState(6)
+    w = jnp.asarray(rs.randn(40, 24).astype(np.float32))
+    u0 = jnp.asarray(rs.randn(1, 24).astype(np.float32))
+
+    def loss_fused(w):
+        wbar, _, _ = sn_fused(w, u0)
+        return jnp.sum(jnp.tanh(wbar))
+
+    def loss_ref(w):
+        wbar, _, _ = sn_math(w, u0)
+        return jnp.sum(jnp.tanh(wbar))
+
+    g_f = jax.grad(loss_fused)(w)
+    g_r = jax.grad(loss_ref)(w)
+    # reference semantics = flow-through-iteration; Miyato stop-grad would
+    # differ here by O(1) in the sigma term
+    np.testing.assert_allclose(np.asarray(g_f), np.asarray(g_r), rtol=1e-4, atol=1e-6)
+
+
 def test_all_label_projection_logits_and_grads():
     rs = np.random.RandomState(3)
     feat = jnp.asarray(rs.randn(6, 16).astype(np.float32))

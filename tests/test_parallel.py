@@ -56,20 +56,23 @@ def test_sharded_cycle_runs_and_stays_replicated():
 
 
 @pytest.mark.slow
-def test_sharded_matches_single_device_losses():
-    """Same data, same init → the 2-way sharded cycle must produce the same
-    costs as the unsharded one.  Per-shard BN/moment math makes this exact
-    only when batch stats match, so the test model disables normalization
-    (normalization_g=False) and spectral norm chaining is identical."""
+@pytest.mark.parametrize("n_devices", [2, 8])
+def test_sharded_matches_single_device_near_exact(n_devices):
+    """Same data, same init → the N-way sharded cycle must match the
+    unsharded one to float tolerance: z and dequantization noise are keyed
+    by GLOBAL example index (core/rng.py), so the only residual difference
+    is reduction ordering.  Checks costs AND parameter deltas after 2 steps
+    (the reference's device-aliasing property, gan_resnet.py:187-188).
+    Per-shard batch-norm moments are the one layout-dependent piece, so the
+    test model disables G normalization."""
     cfg = ResnetGANConfig(dim_g=8, dim_d=8, embedding_dim=12, algorithm="rcgan",
                           normalization_g=False)
     acfg = CifarAlgoConfig(algorithm="rcgan")
     tcfg = CifarTrainConfig(n_critic=2)
     c, _ = build_confusion(0.6, 10)
-    b = 8
+    b = 16  # 2 per device on the widest mesh
 
-    mesh = make_mesh(2)
-    tr_sh = CifarTrainer(cfg, acfg, tcfg, c, mesh=mesh)
+    tr_sh = CifarTrainer(cfg, acfg, tcfg, c, mesh=make_mesh(n_devices))
     tr_1 = CifarTrainer(cfg, acfg, tcfg, c, mesh=None)
 
     # identical init: same rng, same per-device shapes do not affect params
@@ -79,19 +82,37 @@ def test_sharded_matches_single_device_losses():
         np.asarray(ts_sh.groups["gen"]["G.Input"]["W"]),
         np.asarray(ts_1.groups["gen"]["G.Input"]["W"]),
     )
+    init_groups = {
+        g: jax.tree_util.tree_map(np.asarray, ts_1.groups[g]) for g in ("gen", "disc")
+    }
 
     d_batches, g_labels = make_data(b)
-    # NB: z / dequantize noise are sampled per-shard from the same folded key,
-    # so exact equality of costs holds only for the data-independent pieces;
-    # we check the *gradient direction* instead via parameter deltas with a
-    # noise-free setup: images drive D loss, z drives G — to keep the test
-    # deterministic we compare costs after forcing identical rng.
-    ts_sh, m_sh = tr_sh.step(ts_sh, d_batches, g_labels, 1, jax.random.key(3))
-    ts_1, m_1 = tr_1.step(ts_1, d_batches, g_labels, 1, jax.random.key(3))
-    # Costs are means over the same global batch; rng differs per shard, so
-    # allow a loose tolerance — this guards wiring (psum/averaging) bugs,
-    # which produce O(1) discrepancies, not O(0.1).
-    assert abs(float(m_sh["d_cost"]) - float(m_1["d_cost"])) < 0.5
+    for it in (1, 2):
+        ts_sh, m_sh = tr_sh.step(ts_sh, d_batches, g_labels, it, jax.random.key(2 + it))
+        ts_1, m_1 = tr_1.step(ts_1, d_batches, g_labels, it, jax.random.key(2 + it))
+        np.testing.assert_allclose(
+            float(m_sh["d_cost"]), float(m_1["d_cost"]), rtol=1e-4, atol=1e-5
+        )
+        np.testing.assert_allclose(
+            float(m_sh["g_cost"]), float(m_1["g_cost"]), rtol=1e-4, atol=1e-5
+        )
+
+    # parameter DELTAS after 2 steps must agree (not just the losses);
+    # tolerance is relative to the update magnitude, not the weight.
+    for group in ("gen", "disc"):
+        flat_sh = jax.tree_util.tree_leaves(ts_sh.groups[group])
+        flat_1 = jax.tree_util.tree_leaves(ts_1.groups[group])
+        flat_0 = jax.tree_util.tree_leaves(init_groups[group])
+        for a, b_, p0 in zip(flat_sh, flat_1, flat_0):
+            d_sh = np.asarray(a) - p0
+            d_1 = np.asarray(b_) - p0
+            scale = max(float(np.max(np.abs(d_1))), 1e-8)
+            # atol 2e-3 of the update magnitude: psum-vs-single-sum reduction
+            # ordering feeds Adam's rsqrt(v) normalizer, which amplifies
+            # near-zero grads ~10x over two steps (observed: <0.01% of
+            # elements at <1e-3).  Wiring bugs (missing psum, double
+            # averaging) produce O(1) discrepancies and still fail loudly.
+            np.testing.assert_allclose(d_sh / scale, d_1 / scale, rtol=1e-4, atol=2e-3)
 
 
 def test_mnist_sharded_step_runs():
@@ -120,6 +141,46 @@ def test_mnist_sharded_step_runs():
     assert m["prob_real"].shape == (8,)
     ts, m = tr.step(ts, batch, jax.random.key(2))
     assert np.isfinite(float(m["d_loss"]))
+
+
+def test_checkpoint_sharded_roundtrip(tmp_path):
+    """Save a GSPMD-sharded train state from a 4x2 (data, model) mesh and
+    restore it onto a DIFFERENT mesh shape (2x4) with per-shard reads
+    (SURVEY §5.4; VERDICT r1 item 8)."""
+    from rcgan_tpu.parallel.gspmd import (
+        apply_shardings,
+        make_dp_tp_mesh,
+        train_state_shardings,
+    )
+    from rcgan_tpu.train.checkpoint import Checkpointer
+
+    cfg = ResnetGANConfig(dim_g=8, dim_d=8, embedding_dim=12, algorithm="rcgan")
+    acfg = CifarAlgoConfig(algorithm="rcgan")
+    tcfg = CifarTrainConfig(n_critic=2)
+    c, _ = build_confusion(0.6, 10)
+    tr = CifarTrainer(cfg, acfg, tcfg, c, mesh=None)
+    ts = tr.init(jax.random.key(0), 8)
+    ref_w = np.asarray(ts.groups["gen"]["G.Input"]["W"])
+
+    mesh_a = make_dp_tp_mesh(4, 2)
+    ts_a = apply_shardings(ts, train_state_shardings(mesh_a, ts))
+    ck = Checkpointer(str(tmp_path / "ckpt"))
+    ck.save(3, ts_a, wait=True)
+
+    # restore onto a different mesh shape with different TP partitioning
+    mesh_b = make_dp_tp_mesh(2, 4)
+    shard_b = train_state_shardings(mesh_b, ts)
+    restored = ck.restore_sharded(ts, shard_b, step=3)
+    assert restored is not None
+    w = restored.groups["gen"]["G.Input"]["W"]
+    assert w.sharding == shard_b.groups["gen"]["G.Input"]["W"]
+    np.testing.assert_array_equal(np.asarray(w), ref_w)
+    np.testing.assert_array_equal(
+        np.asarray(restored.groups["disc"]["D.Output"]["W"]),
+        np.asarray(ts.groups["disc"]["D.Output"]["W"]),
+    )
+    assert int(restored.step) == int(ts.step)
+    ck.close()
 
 
 def test_gspmd_dp_tp_cycle():
