@@ -26,7 +26,13 @@ import jax
 
 def preds_to_score(preds: np.ndarray, splits: int = 10) -> Tuple[float, float]:
     """``exp(E KL(p(y|x) || p(y)))`` per split; returns (mean, std)
-    (``inception_score_.py:61-68``)."""
+    (``inception_score_.py:61-68``).
+
+    Probabilities are floored at 1e-20: a very confident classifier
+    underflows f32 softmax to exact 0, and ``0 * log(0)`` NaNs the KL.
+    The clamp changes the score by O(1e-19) — the limit of p·log p at
+    p→0 is 0, which the floor reproduces."""
+    preds = np.clip(np.asarray(preds, np.float64), 1e-20, 1.0)
     scores = []
     n = preds.shape[0]
     for i in range(splits):

@@ -71,10 +71,10 @@ def _tiles(b: int, s: int, c: int):
     # anything else — observed at B=100, the 10x10 sampler batch).
     bt = next((k for k in range(cap, 0, -1) if b % k == 0 and k % 8 == 0), None)
     if bt is None:
-        if b * st * ct * 4 <= 2 * _VMEM_BLOCK_BUDGET:
-            bt = b  # whole-batch block still fits comfortably
+        if b * st * ct * 4 <= _VMEM_BLOCK_BUDGET:
+            bt = b  # whole-batch block still fits the budget
         else:
-            return None
+            return None  # e.g. B=500 eval batches: XLA path
     return bt, st, ct
 
 

@@ -26,8 +26,9 @@ from jax.experimental.pallas import tpu as pltpu
 from rcgan_tpu.ops.pallas import runtime
 
 _EPS = 1e-12
-# whole-W single-block budget (f32 bytes); flagship max is ~1 MB
-_VMEM_W_BUDGET = 8 * 1024 * 1024
+# whole-W single-block budget (f32 bytes); flagship max is ~1 MB.  W sits
+# in VMEM twice (in + wbar out), so stay well under the 16 MB scoped limit.
+_VMEM_W_BUDGET = 4 * 1024 * 1024
 
 
 def sn_math(w_mat: jax.Array, u0: jax.Array):
