@@ -86,17 +86,39 @@ def synthetic_cifar(n: int, seed: int = 0, chunk: int = 4096, image_seed: int | 
     # ``seed`` fixes the per-class DISTRIBUTION parameters; ``image_seed``
     # (default: seed) draws the per-image samples.  Train/test splits must
     # share ``seed`` (same classes!) and differ only in ``image_seed``.
-    rs_cls = np.random.RandomState(seed)
+    #
+    # Class parameters are STRUCTURED, not random: an earlier draw of
+    # random class params left several classes with weakly distinctive
+    # layouts, and at full size the generator mode-collapsed exactly those
+    # classes onto the distinctive ones (gen-label-acc plateau at 0.50 with
+    # a block-structured confusion matrix).  Ring-placed blobs, evenly
+    # spaced hues, and evenly spaced grating orientations give every class
+    # the same margin from its neighbors; per-image jitter still provides
+    # the intra-class variation that keeps D from memorizing.
     rs = np.random.RandomState(seed if image_seed is None else image_seed)
     yy, xx = np.mgrid[0:32, 0:32].astype(np.float32) / 32.0  # [0,1)
 
-    # per-class distribution parameters
-    cls_blob_centers = rs_cls.rand(10, 2, 2).astype(np.float32) * 0.6 + 0.2  # [cls, blob, yx]
-    cls_blob_colors = rs_cls.rand(10, 2, 3).astype(np.float32) * 0.8 + 0.2
-    cls_bg_color = rs_cls.rand(10, 3).astype(np.float32) * 0.5
-    cls_theta = (np.arange(10) * np.pi / 10 + rs_cls.rand(10) * 0.1).astype(np.float32)
-    cls_freq = (2.0 + (np.arange(10) % 4) + rs_cls.rand(10)).astype(np.float32)
-    cls_grating_color = rs_cls.rand(10, 3).astype(np.float32) * 0.6 + 0.2
+    def hue_rgb(h):  # [K] hues in [0,1) -> [K, 3] saturated RGB
+        h = np.asarray(h, np.float32)[..., None] * 6.0
+        return np.clip(np.abs((h + np.array([0.0, 4.0, 2.0], np.float32)) % 6.0 - 3.0) - 1.0,
+                       0.0, 1.0).astype(np.float32)
+
+    k = np.arange(10, dtype=np.float32)
+    ang = k * (2 * np.pi / 10)
+    cls_blob_centers = np.stack(
+        [
+            np.stack([0.5 + 0.27 * np.sin(ang), 0.5 + 0.27 * np.cos(ang)], -1),
+            np.stack([0.5 + 0.14 * np.sin(ang + 2.4), 0.5 + 0.14 * np.cos(ang + 2.4)], -1),
+        ],
+        axis=1,
+    ).astype(np.float32)  # [cls, blob, yx]
+    cls_blob_colors = np.stack(
+        [hue_rgb(k / 10) * 0.8 + 0.2, hue_rgb((k / 10 + 0.5) % 1.0) * 0.8 + 0.2], axis=1
+    )  # [cls, blob, rgb]
+    cls_bg_color = hue_rgb((k / 10 + 0.25) % 1.0) * 0.3
+    cls_theta = (k * np.pi / 10).astype(np.float32)  # 18 deg apart
+    cls_freq = (2.0 + (np.arange(10) % 4)).astype(np.float32)
+    cls_grating_color = hue_rgb((k / 10 + 0.7) % 1.0) * 0.6 + 0.2
 
     labels = rs.randint(10, size=n).astype(np.int64)
     out = np.empty((n, OUTPUT_DIM), np.uint8)
@@ -122,8 +144,9 @@ def synthetic_cifar(n: int, seed: int = 0, chunk: int = 4096, image_seed: int | 
             )
             img += color[:, :, None, None] * blob[:, None]
 
-        # oriented mid-frequency grating
-        theta = cls_theta[y] + rs.randn(m).astype(np.float32) * 0.15
+        # oriented mid-frequency grating (jitter sigma 0.08 rad ~ 4.6 deg,
+        # well inside the 18-deg class spacing)
+        theta = cls_theta[y] + rs.randn(m).astype(np.float32) * 0.08
         freq = cls_freq[y] + rs.rand(m).astype(np.float32) - 0.5
         phase = rs.rand(m).astype(np.float32) * (2 * np.pi)
         carrier = np.sin(

@@ -70,9 +70,15 @@ def normalize(ctx: Ctx, cfg: ResnetGANConfig, name: str, x, labels=None):
         return layer_norm(ctx, x, name)
     if ("G." in name) and cfg.normalization_g:
         if labels is not None:
-            from rcgan_tpu.ops.pallas import pallas_enabled
+            from rcgan_tpu.ops.pallas import kernel_enabled
 
-            if pallas_enabled():
+            # default OFF by measurement: the tiled Pallas cond-BN is
+            # correct for every flagship shape, but the XLA path fuses the
+            # normalize into the neighboring relu/conv (29.7-30.0 vs 26.8
+            # cycles/s on v5e, bench.py A/B via RCGAN_PALLAS_NORM) — there
+            # is no HBM round trip for the kernel to save here.  Set
+            # RCGAN_PALLAS_NORM=1 to route through the kernel.
+            if kernel_enabled("norm", default=False):
                 from rcgan_tpu.core import initializers as inits
                 from rcgan_tpu.ops.pallas.norm_kernel import cond_batchnorm_bhwc
 
@@ -232,9 +238,9 @@ def all_label_logits(ctx: Ctx, cfg: ResnetGANConfig, features: jax.Array, wgan: 
     Uses the fused Pallas projection kernel on TPU."""
     all_labels = jnp.arange(cfg.vocab_size)
     emb = discriminator_projection(ctx, cfg, all_labels)  # [vocab, dim_d]
-    from rcgan_tpu.ops.pallas import pallas_enabled
+    from rcgan_tpu.ops.pallas import kernel_enabled
 
-    if pallas_enabled():
+    if kernel_enabled("proj"):
         from rcgan_tpu.ops.pallas.projection_kernel import all_label_projection_logits
 
         return all_label_projection_logits(features, emb, wgan[:, None])

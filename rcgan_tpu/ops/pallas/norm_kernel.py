@@ -99,7 +99,10 @@ def _moments_kernel(x_ref, sum_ref, sq_ref):
 def _apply_kernel(mean_ref, inv_ref, scale_ref, offset_ref, x_ref, out_ref):
     x = x_ref[:].astype(jnp.float32)  # [Bt, St, Ct]
     xhat = (x - mean_ref[:][None]) * inv_ref[:][None]
-    out_ref[:] = xhat * scale_ref[:][:, None, :] + offset_ref[:][:, None, :]
+    out = xhat * scale_ref[:][:, None, :] + offset_ref[:][:, None, :]
+    # write in the activation dtype (bf16 in the flagship): halves the
+    # kernel's HBM write traffic vs an f32 out + downstream cast
+    out_ref[:] = out.astype(out_ref.dtype)
 
 
 def _cond_bn_fwd_pallas(x, scale_e, offset_e, eps):
@@ -142,7 +145,7 @@ def _cond_bn_fwd_pallas(x, scale_e, offset_e, eps):
         ],
         out_specs=pl.BlockSpec((bt, st, ct), lambda ic, ib, is_: (ib, is_, ic),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, s, c), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((b, s, c), x.dtype),
         interpret=interpret,
     )(mean, inv, scale_e.astype(jnp.float32), offset_e.astype(jnp.float32), x)
     return out, mean, var
@@ -151,7 +154,7 @@ def _cond_bn_fwd_pallas(x, scale_e, offset_e, eps):
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
 def cond_batchnorm_fused(x, scale_e, offset_e, eps=1e-5):
     """``x [B,S,C]`` float; ``scale_e/offset_e [B,C]`` per-example affine.
-    Returns normalized output in float32."""
+    Returns normalized output in ``x.dtype`` (moments in float32)."""
     out, _, _ = _cond_bn_fwd_pallas(x, scale_e, offset_e, eps)
     return out
 

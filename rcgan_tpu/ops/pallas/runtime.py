@@ -24,3 +24,16 @@ def pallas_enabled() -> bool:
     if env is not None:
         return env not in ("0", "false", "")
     return jax.default_backend() == "tpu"
+
+
+def kernel_enabled(name: str, default: bool | None = None) -> bool:
+    """Per-kernel routing override: ``RCGAN_PALLAS_<NAME>=0/1`` wins, then
+    ``default`` (a kernel may default off when the XLA path measured
+    faster), then the global :func:`pallas_enabled`.  Used for per-kernel
+    A/B benchmarking and for shipping measured-good defaults."""
+    env = os.environ.get(f"RCGAN_PALLAS_{name.upper()}")
+    if env is not None:
+        return env not in ("0", "false", "")
+    if default is not None:
+        return default and pallas_enabled()
+    return pallas_enabled()

@@ -51,10 +51,10 @@ def spectral_normed_weight(
     u = ctx.stat(layer, "u", (1, cout), inits.truncated_normal(1.0))
     u = u.astype(jnp.float32)
 
-    from rcgan_tpu.ops.pallas import pallas_enabled
+    from rcgan_tpu.ops.pallas import kernel_enabled
     from rcgan_tpu.ops.pallas.sn_kernel import fits_fused, sn_fused
 
-    if num_iters == 1 and pallas_enabled() and fits_fused(*w_mat.shape):
+    if num_iters == 1 and kernel_enabled("sn") and fits_fused(*w_mat.shape):
         w_bar, u_f, sigma = sn_fused(w_mat, u)
         if ctx.update_sn:
             ctx.put_stat(layer, "u", jax.lax.stop_gradient(u_f))

@@ -186,9 +186,9 @@ class CifarTrainer:
             kz, kq = jax.random.split(k)
             local_b = batch["images"].shape[0]
             q_keys = example_keys(kq, local_b, axis)
-            from rcgan_tpu.ops.pallas import pallas_enabled
+            from rcgan_tpu.ops.pallas import kernel_enabled
 
-            if pallas_enabled():
+            if kernel_enabled("dequant"):
                 from rcgan_tpu.ops.pallas.dequant_kernel import dequantize_fused
 
                 seeds = jax.vmap(lambda kk: jax.random.randint(kk, (), 0, 2**31 - 1))(q_keys)
