@@ -59,7 +59,10 @@ def generator(ctx: Ctx, cfg: PGGANConfig, base: ResnetGANConfig, z: jax.Array,
     out = nonlinearity(out)
     rgb = jnp.tanh(_to_rgb(ctx, cfg, out, stage))
     if trans and prev is not None:
-        low = jnp.tanh(_to_rgb(ctx, cfg, prev, stage - 1))
+        # same nonlinearity + ToRGB.{stage-1} as the previous stage's own
+        # output path: at alpha=0 the transition output IS the upsampled
+        # previous-stage image (the PGGAN fade-in contract)
+        low = jnp.tanh(_to_rgb(ctx, cfg, nonlinearity(prev), stage - 1))
         rgb = alpha * rgb + (1.0 - alpha) * upsample_depth_to_space(low)
     return rgb
 
