@@ -110,6 +110,7 @@ def train(flags, trainer: MnistTrainer, ts, data: mnist_data.MnistData, ckpt: Ch
     guard = PreemptionGuard()
     counter = 1
     pending = []
+    static_dev, label_dev = None, None
     start = time.time()
     for epoch in range(flags.epoch):
         if guard.should_stop():
@@ -126,54 +127,104 @@ def train(flags, trainer: MnistTrainer, ts, data: mnist_data.MnistData, ckpt: Ch
                 np.random.RandomState(epoch), data, noise_c
             )
 
-        for idx in range(batch_idxs):
-            sl = slice(idx * bs, (idx + 1) * bs)
-            batch = batch_dict(data, sl, y_real_ep, y_fake_ep)
-            rng, sub = jax.random.split(rng)
-            ts, m = trainer.step(ts, batch, sub)
+        def log_line(idx, m_at):
+            pr, pf = m_at["prob_real"], m_at["prob_fake"]
+            log.info(
+                "Epoch: [%2d] [%4d/%4d] time: %4.2f, d_loss: %.3f, g_loss: %.3f, "
+                "d_real: %2d, %.3f, %.3f, d_fake: %2d, %.3f, %.3f",
+                epoch, idx, batch_idxs, time.time() - start,
+                float(m_at["d_loss"]), float(m_at["g_loss"]),
+                int((pr >= 0.5).sum()), pr.min(), pr.max(),
+                int((pf <= 0.5).sum()), pf.min(), pf.max(),
+            )
 
-            counter += 1
-            if (epoch < 1 and idx < 20) or idx % 350 == 0:
-                pr = np.asarray(m["prob_real"])
-                pf = np.asarray(m["prob_fake"])
-                log.info(
-                    "Epoch: [%2d] [%4d/%4d] time: %4.2f, d_loss: %.3f, g_loss: %.3f, "
-                    "d_real: %2d, %.3f, %.3f, d_fake: %2d, %.3f, %.3f",
-                    epoch, idx, batch_idxs, time.time() - start,
-                    float(m["d_loss"]), float(m["g_loss"]),
-                    int((pr >= 0.5).sum()), pr.min(), pr.max(),
-                    int((pf <= 0.5).sum()), pf.min(), pf.max(),
-                )
-            # buffer loss scalars on device; one host fetch per block (a
-            # per-step float() is a synchronizing round trip that would
-            # throttle the loop like the reference's 5 extra sess.runs)
-            pending.append((m["d_loss"], m["g_loss"]))
-            if len(pending) >= 50 or idx == batch_idxs - 1:
-                vals = np.asarray(jnp.stack([jnp.stack(p) for p in pending]))
-                for dl, gl in vals:
-                    metrics.plot("d_loss", float(dl))
-                    metrics.plot("g_loss", float(gl))
+        def tb_post(counter, m_at):  # tf.summary channel (mnist/model.py:268-272)
+            for name in ("d_loss", "g_loss", "d_loss_real", "d_loss_fake",
+                         "class_loss_real", "class_loss_fake"):
+                tb.scalar(name, m_at[name], counter)
+            tb.histogram("d", m_at["prob_real"], counter)
+            tb.histogram("d_", m_at["prob_fake"], counter)
+
+        def sample_and_ckpt(counter, idx):
+            samples = np.asarray(trainer.sample(ts, jnp.asarray(sample_z), sample_y))
+            save_images(samples, image_manifold_size(samples.shape[0]),
+                        os.path.join(sample_dir, f"train_{epoch:02d}_{idx:04d}.png"))
+            from rcgan_tpu.utils.images import merge
+
+            tb.image("G", merge(samples, image_manifold_size(samples.shape[0]))[..., None],
+                     counter)
+            ckpt.save(counter, ts)
+
+        use_scan = getattr(flags, "device_data", True) and trainer.mesh is None
+        if use_scan:
+            # Device-resident epoch (ROADMAP item 5): the full dataset lives
+            # in HBM and K iterations run as ONE lax.scan'ed program — the
+            # per-iteration Python dispatch + batch upload disappear.  The
+            # big arrays upload ONCE (static_dev); only the labels change
+            # across epochs (and only under --add_noise's re-noising).
+            if static_dev is None:
+                static_dev = {
+                    "images": jnp.asarray(data.x[:n]),
+                    "y_gen": jnp.asarray(data.y_gen[:n]),
+                    "y_real_weights": jnp.asarray(data.y_real_weights[:n]),
+                }
+                label_dev = {
+                    "y_real": jnp.asarray(y_real_ep[:n]),
+                    "y_fake": jnp.asarray(y_fake_ep[:n]),
+                }
+            elif flags.add_noise:
+                label_dev = {
+                    "y_real": jnp.asarray(y_real_ep[:n]),
+                    "y_fake": jnp.asarray(y_fake_ep[:n]),
+                }
+            dataset_dev = dict(static_dev, **label_dev)
+            K = 50
+            for b0 in range(0, batch_idxs, K):
+                k = min(K, batch_idxs - b0)
+                idxs = np.arange(b0 * bs, (b0 + k) * bs, dtype=np.int32).reshape(k, bs)
+                rng, sub = jax.random.split(rng)
+                ts, ms = trainer.step_scan(ts, dataset_dev, idxs, sub)
+                host = {kk: np.asarray(v) for kk, v in ms.items()}  # one fetch/block
+                for j in range(k):
+                    idx = b0 + j
+                    m_at = {kk: v[j] for kk, v in host.items()}
+                    counter += 1
+                    metrics.plot("d_loss", float(m_at["d_loss"]))
+                    metrics.plot("g_loss", float(m_at["g_loss"]))
                     metrics.tick()
-                pending.clear()
-            if counter % 50 == 1:  # tf.summary channel (mnist/model.py:268-272)
-                tb.scalar("d_loss", m["d_loss"], counter)
-                tb.scalar("g_loss", m["g_loss"], counter)
-                tb.scalar("d_loss_real", m["d_loss_real"], counter)
-                tb.scalar("d_loss_fake", m["d_loss_fake"], counter)
-                tb.scalar("class_loss_real", m["class_loss_real"], counter)
-                tb.scalar("class_loss_fake", m["class_loss_fake"], counter)
-                tb.histogram("d", m["prob_real"], counter)
-                tb.histogram("d_", m["prob_fake"], counter)
+                    if (epoch < 1 and idx < 20) or idx % 350 == 0:
+                        log_line(idx, m_at)
+                    if counter % 50 == 1:
+                        tb_post(counter, m_at)
+                # cadence check at block end: with bs=100 (700 iters/epoch)
+                # blocks align exactly with the reference's 700-step cadence
+                if any((counter - j) % 700 == 1 for j in range(k)) and counter > 1:
+                    sample_and_ckpt(counter, b0 + k - 1)
+        else:
+            for idx in range(batch_idxs):
+                sl = slice(idx * bs, (idx + 1) * bs)
+                batch = batch_dict(data, sl, y_real_ep, y_fake_ep)
+                rng, sub = jax.random.split(rng)
+                ts, m = trainer.step(ts, batch, sub)
 
-            if counter % 700 == 1:
-                samples = np.asarray(trainer.sample(ts, jnp.asarray(sample_z), sample_y))
-                save_images(samples, image_manifold_size(samples.shape[0]),
-                            os.path.join(sample_dir, f"train_{epoch:02d}_{idx:04d}.png"))
-                from rcgan_tpu.utils.images import merge
-
-                tb.image("G", merge(samples, image_manifold_size(samples.shape[0]))[..., None],
-                         counter)
-                ckpt.save(counter, ts)
+                counter += 1
+                if (epoch < 1 and idx < 20) or idx % 350 == 0:
+                    log_line(idx, {kk: np.asarray(v) for kk, v in m.items()})
+                # buffer loss scalars on device; one host fetch per block (a
+                # per-step float() is a synchronizing round trip that would
+                # throttle the loop like the reference's 5 extra sess.runs)
+                pending.append((m["d_loss"], m["g_loss"]))
+                if len(pending) >= 50 or idx == batch_idxs - 1:
+                    vals = np.asarray(jnp.stack([jnp.stack(p) for p in pending]))
+                    for dl, gl in vals:
+                        metrics.plot("d_loss", float(dl))
+                        metrics.plot("g_loss", float(gl))
+                        metrics.tick()
+                    pending.clear()
+                if counter % 50 == 1:
+                    tb_post(counter, {kk: np.asarray(v) for kk, v in m.items()})
+                if counter % 700 == 1:
+                    sample_and_ckpt(counter, idx)
 
         if (epoch + 1) % 5 == 0:  # gen-label-acc every 5 epochs (model.py:473-491)
             accs = []

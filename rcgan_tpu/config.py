@@ -85,6 +85,9 @@ def mnist_flags() -> FlagParser:
     p.define_integer("seed", 547, "Data shuffle seed")
     p.define_integer("mesh_devices", 1, "Data-mesh size (1 = single device; 0 = all)")
     p.define_integer("eval_train_size", 60000, "Eval-classifier training examples")
+    p.define_boolean("device_data", True,
+                     "Keep the dataset resident in HBM and run 50-iteration "
+                     "fused lax.scan blocks (single-device path)")
     return p
 
 

@@ -205,6 +205,40 @@ class MnistTrainer:
     def step(self, ts: TrainState, batch: dict, rng: jax.Array) -> tuple:
         return self._jitted_step(ts, batch, rng)
 
+    # ----------------------------------------------- fused multi-batch scan
+    @functools.cached_property
+    def _jitted_scan(self):
+        """K iterations as ONE ``lax.scan``ed XLA program over a
+        device-resident dataset: the epoch loop's per-iteration Python
+        dispatch and host->device batch copies disappear (ROADMAP item 5;
+        the dataset rides as a runtime argument — see cifar_loop for why
+        it must not be a traced constant).  Single-device path (the MNIST
+        reference stack is single-device; the mesh path uses :meth:`step`)."""
+
+        def run(ts, dataset_and_key, idx):
+            dataset = dict(dataset_and_key)
+            base_key = dataset.pop("__rng__")
+
+            def body(carry, idx_row):
+                ts = carry
+                batch = {k: jnp.take(v, idx_row, axis=0) for k, v in dataset.items()}
+                # unique, resumable per-iteration stream keyed by step count
+                rng = jax.random.fold_in(base_key, ts.step)
+                ts, m = self._step(ts, batch, rng, None)
+                return ts, m
+
+            return jax.lax.scan(body, ts, idx)
+
+        return jax.jit(run, donate_argnums=0)
+
+    def step_scan(self, ts: TrainState, dataset: dict, idx, rng: jax.Array) -> tuple:
+        """Run ``idx.shape[0]`` fused iterations; ``dataset`` holds the
+        full device-resident arrays keyed like a batch dict, ``idx`` is
+        [K, B] int32 example indices.  Metrics come back stacked [K, ...]."""
+        payload = dict(dataset)
+        payload["__rng__"] = rng
+        return self._jitted_scan(ts, payload, jnp.asarray(idx, jnp.int32))
+
     # ------------------------------------------------------------ sample
     @functools.partial(jax.jit, static_argnums=0)
     def sample(self, ts: TrainState, z: jax.Array, y_onehot: jax.Array) -> jax.Array:

@@ -147,6 +147,58 @@ def test_checkpoint_roundtrip(tmp_path):
     assert int(restored.step) == 1
 
 
+def test_mnist_step_scan_matches_sequential_steps():
+    """The fused lax.scan epoch path must produce the same training
+    trajectory as per-call steps over the same data and rng derivation."""
+    cfg = DCGANConfig(batch_size=4, z_dim=8, gf_dim=4, df_dim=4, gfc_dim=16, dfc_dim=16,
+                      disc_type="projection", spectral_norm=True, max_norm=True)
+    acfg = MnistAlgoConfig(algorithm="rcgan", loss_fn="hinge")
+    c, _ = build_confusion(0.7, 10)
+    tr = MnistTrainer(cfg, acfg, MnistTrainConfig(), c)
+
+    rs = np.random.RandomState(0)
+    n, b, k = 32, 4, 3
+    dataset = {
+        "images": jnp.asarray(rs.rand(n, 28, 28, 1).astype(np.float32)),
+        "y_real": jnp.asarray(rs.randint(10, size=n)),
+        "y_gen": jnp.asarray(rs.randint(10, size=n)),
+        "y_fake": jnp.asarray(rs.randint(10, size=n)),
+        "y_real_weights": jnp.asarray(rs.rand(n, 10).astype(np.float32)),
+    }
+    idx = jnp.asarray(rs.permutation(n)[: k * b].reshape(k, b), jnp.int32)
+    batch0 = {kk: v[idx[0]] for kk, v in dataset.items()}
+
+    ts_a = tr.init(jax.random.key(0), batch0)
+    ts_b = tr.init(jax.random.key(0), batch0)
+    base = jax.random.key(7)
+
+    ts_a, ms = tr.step_scan(ts_a, dataset, idx, base)
+    assert ms["d_loss"].shape == (k,)
+
+    seq_losses = []
+    for j in range(k):
+        batch = {kk: v[idx[j]] for kk, v in dataset.items()}
+        rng = jax.random.fold_in(base, ts_b.step)
+        ts_b, m = tr.step(ts_b, batch, rng)
+        seq_losses.append(float(m["d_loss"]))
+
+    # the per-step losses ARE the trajectory: step j's loss is computed
+    # from the params produced by steps < j, so matching losses at 1e-5
+    # means the parameter trajectories agree wherever they matter
+    np.testing.assert_allclose(np.asarray(ms["d_loss"]), seq_losses, rtol=1e-5, atol=1e-6)
+    # functional equivalence of the final states: identical z -> samples.
+    # (Raw param-delta comparison is NOT meaningful here: for leaves with
+    # structurally-vanishing gradients, scaleless Adam normalizes fp dust
+    # into +-unit directions, so those deltas legitimately diverge between
+    # any two fusions of the same math.)
+    z = jnp.asarray(rs.uniform(-1, 1, (4, cfg.z_dim)).astype(np.float32))
+    y = jnp.asarray(np.eye(10, dtype=np.float32)[rs.randint(10, size=4)])
+    np.testing.assert_allclose(
+        np.asarray(tr.sample(ts_a, z, y)), np.asarray(tr.sample(ts_b, z, y)),
+        rtol=1e-3, atol=2e-3,
+    )
+
+
 def test_cifar_device_dataset_matches_host_fed():
     """Device-resident dataset (index batches) must produce bit-identical
     costs to host-fed batches on the same data/keys."""
