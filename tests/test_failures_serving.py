@@ -74,11 +74,13 @@ def test_serving_sampler_roundtrip(tmp_path):
     ck = Checkpointer(str(tmp_path))
     ck.save(0, ts)
 
-    s = Sampler.from_checkpoint("cifar", str(tmp_path), batch=10,
+    s = Sampler.from_checkpoint("cifar", str(tmp_path), buckets=(2, 10),
                                 dim_g=8, dim_d=8, embedding_dim=12)
-    imgs = s.sample([0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 0, 1])  # ragged (12 > batch 10)
+    imgs = s.sample([0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 0, 1])  # ragged (12 > bucket 10)
     assert imgs.shape == (12, 32, 32, 3)
     assert np.abs(imgs).max() <= 1.0
+    # bucket routing: a 2-request pads to bucket 2, not 10
+    assert s._bucket_for(2) == 2 and s._bucket_for(3) == 10
 
 
 def test_serving_cli_writes_grid(tmp_path):
@@ -97,10 +99,77 @@ def test_serving_cli_writes_grid(tmp_path):
     out = str(tmp_path / "grid.png")
     # monkeypatch the default full-size config through CLI is not possible;
     # drive the Sampler + save path that main() uses
-    s = serving.Sampler.from_checkpoint("cifar", str(tmp_path / "ck"), batch=9,
+    s = serving.Sampler.from_checkpoint("cifar", str(tmp_path / "ck"), buckets=(9,),
                                         dim_g=8, dim_d=8, embedding_dim=12)
     imgs = s.sample(list(range(9)))
     from rcgan_tpu.utils.images import save_images
 
     save_images((imgs + 1.0) / 2.0, (3, 3), out)
     assert os.path.exists(out)
+
+
+def _tiny_sampler(tmp_path):
+    from rcgan_tpu.algorithms.cifar import CifarAlgoConfig
+    from rcgan_tpu.data.confusion import one_coin_matrix
+    from rcgan_tpu.models.resnet_gan import ResnetGANConfig
+    from rcgan_tpu.serving import Sampler
+    from rcgan_tpu.train.checkpoint import Checkpointer
+    from rcgan_tpu.train.cifar_loop import CifarTrainer, CifarTrainConfig
+
+    cfg = ResnetGANConfig(dim_g=8, dim_d=8, embedding_dim=12)
+    tr = CifarTrainer(cfg, CifarAlgoConfig(), CifarTrainConfig(), one_coin_matrix(0.6, 10))
+    ts = tr.init(jax.random.key(0), 4)
+    Checkpointer(str(tmp_path / "ck")).save(0, ts, wait=True)
+    return Sampler.from_checkpoint("cifar", str(tmp_path / "ck"), buckets=(4,),
+                                   dim_g=8, dim_d=8, embedding_dim=12)
+
+
+def test_serving_aot_export_roundtrip(tmp_path):
+    """jax.export artifact: weights baked in, reload without the framework
+    model code, numerics identical to the live sampler."""
+    from rcgan_tpu.serving import load_exported
+
+    s = _tiny_sampler(tmp_path)
+    path = str(tmp_path / "sampler.stablehlo")
+    b = s.export_sampler(path)
+    assert b == 4 and os.path.getsize(path) > 0
+
+    fn = load_exported(path)
+    z = np.random.RandomState(0).randn(4, 128).astype(np.float32)
+    labels = np.arange(4, dtype=np.int32)
+    out = np.asarray(fn(z, labels))
+    assert out.shape == (4, 32, 32, 3)
+
+    live = np.asarray(s.trainer.sample(s.ts, jnp.asarray(z), jnp.asarray(labels)))
+    np.testing.assert_allclose(out, live.reshape(4, 32, 32, 3), rtol=1e-5, atol=1e-5)
+
+
+def test_serving_http_endpoint(tmp_path):
+    import threading
+    import urllib.request
+
+    from rcgan_tpu.serving import make_server
+
+    s = _tiny_sampler(tmp_path)
+    srv = make_server(s, port=0)  # ephemeral port
+    port = srv.server_address[1]
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        with urllib.request.urlopen(f"http://127.0.0.1:{port}/healthz", timeout=30) as r:
+            assert r.read() == b"ok"
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/sample?labels=1,2,3&seed=5", timeout=120
+        ) as r:
+            body = r.read()
+            assert r.headers["Content-Type"] == "image/png"
+            assert body[:8] == b"\x89PNG\r\n\x1a\n"
+        import urllib.error
+
+        try:
+            urllib.request.urlopen(f"http://127.0.0.1:{port}/sample?labels=bogus", timeout=30)
+            assert False, "expected 400"
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+    finally:
+        srv.shutdown()
