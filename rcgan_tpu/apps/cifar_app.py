@@ -317,6 +317,15 @@ def main(argv=None):
             tb.scalar("lr", m["lr"], iteration)
             log.info("iter %d d_cost %.4f g_cost %.4f (%.3fs)", iteration,
                      float(m["d_cost"]), float(m["g_cost"]), time.time() - t0)
+            if flags.algorithm == "rcgan-u":
+                # learned-C drift vs the true C (gan_resnet.py:922-926)
+                cm = np.asarray(jax.nn.softmax(
+                    ts.groups["confusion"]["confusion_logits"]["logits"], axis=-1))
+                drift = float(np.abs(cm - np.asarray(c_alpha)).max())
+                diag = float(np.mean(np.diag(cm)))
+                tb.scalar("confusion_drift", drift, iteration)
+                log.info("iter %d learned-C: max|C-C*| %.4f mean diag %.4f (true %.2f)",
+                         iteration, drift, diag, flags.alpha)
 
         if iteration % flags.inception_freq == flags.inception_freq - 1:
             log.info("starting inception score computation.")
