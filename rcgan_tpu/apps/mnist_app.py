@@ -250,6 +250,18 @@ def main(argv=None):
     flags.input_height = flags.output_height = 28
     flags.input_width = flags.input_width or 28
     flags.output_width = flags.output_width or 28
+    # The reference force-overrides these after parsing (mnist/main.py:84,107):
+    # sample_dir is always <run>/samples and dataset is always 'mnist'.  Keep
+    # the same semantics but say so instead of silently ignoring the value.
+    if flags.dataset != "mnist":
+        raise SystemExit(
+            f"--dataset {flags.dataset!r}: the MNIST CLI supports only 'mnist' "
+            "(the reference hard-codes FLAGS.dataset='mnist', mnist/main.py:107)")
+    if flags.sample_dir not in ("samples/", "samples"):
+        log.warning("--sample_dir %r is overridden to <run>/samples, matching "
+                    "the reference (mnist/main.py:84)", flags.sample_dir)
+    # crop selects output vs input dims in the reference (mnist/model.py:112);
+    # both are forced to 28 above, so either setting yields the same pipeline.
 
     prefix = "" if flags.dir_prefix is None else flags.dir_prefix + "_"
     if flags.checkpoint is None:
@@ -260,7 +272,7 @@ def main(argv=None):
         run_path = os.path.join(flags.checkpoint_dir, flags.checkpoint)
     sample_dir = os.path.join(run_path, "samples")
     os.makedirs(sample_dir, exist_ok=True)
-    run_dir_lib.record_setting(run_path, vars(flags))
+    run_dir_lib.record_setting(run_path, vars(flags), script_file=flags.script_file)
     # force=True: jax's import already configured the root logger
     logging.basicConfig(level=logging.INFO, force=True)
     if flags.logs_at_ckpt:

@@ -24,7 +24,10 @@ def main(argv=None):
     p.add_argument("--n", type=int, default=50000)
     p.add_argument("--splits", type=int, default=10)
     p.add_argument("--batch", type=int, default=500)
-    p.add_argument("--allow_synthetic", action="store_true", default=True)
+    p.add_argument("--allow_synthetic", action=argparse.BooleanOptionalAction,
+                   default=True,
+                   help="fall back to synthetic data when real CIFAR files "
+                        "are missing (--no-allow_synthetic to require real)")
     args = p.parse_args(argv)
 
     import jax
@@ -33,9 +36,20 @@ def main(argv=None):
     from rcgan_tpu.evals import inception_v3
     from rcgan_tpu.evals.inception import real_data_score
 
+    import os
+
+    real_files_present = all(
+        os.path.exists(os.path.join(args.data_dir, f))
+        for f in cifar_data.TRAIN_FILES + cifar_data.TEST_FILES
+    )
     train_split, dev_split = cifar_data.load(
         args.data_dir, alpha=1.0, allow_synthetic=args.allow_synthetic
     )
+    if not real_files_present:
+        print("WARNING: real CIFAR-10 batches not found under "
+              f"{args.data_dir!r} — calibrating on SYNTHETIC stand-in data. "
+              "This anchor is NOT comparable to the reference's 11.31 "
+              "real-data score. Pass --no-allow_synthetic to fail instead.")
     imgs = train_split.images[: args.n].astype(np.float32)
     imgs = 2.0 * (imgs / 255.0 - 0.5)
     imgs = imgs.reshape(-1, 3, 32, 32).transpose(0, 2, 3, 1)  # CHW-flat -> HWC

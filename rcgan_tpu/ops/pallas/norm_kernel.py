@@ -6,7 +6,14 @@ normalization in the CIFAR generator (it runs 7x per G forward) — with two
 VMEM-tiled passes:
 
 1. **moments**: per-channel sum and sum-of-squares accumulated over
-   (batch, spatial) grid tiles (sequential TPU grid → safe accumulation);
+   (batch, spatial) grid tiles (sequential TPU grid → safe accumulation).
+   Variance is then ``E[x^2] - mean^2`` in f32 — a ONE-pass statistical
+   scheme ("two-pass" above refers to the two kernel launches, not
+   Welford).  Over the <=128k-element flagship reductions this cancels
+   catastrophically only when ``|mean| >> std``; generator pre-BN
+   activations are near zero-mean, and the oracle tests bound the error
+   at flagship shapes.  A centered second pass would double the read
+   traffic of exactly the pass this kernel exists to fuse away;
 2. **apply**: ``(x - mean) * rsqrt(var + eps) * scale_e + offset_e`` with
    the per-example affine, written tile by tile.
 

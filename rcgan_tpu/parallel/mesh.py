@@ -59,11 +59,21 @@ def replicate(mesh: Mesh, tree):
 
 def maybe_initialize_distributed():
     """Multi-host bootstrap (no-op single-process): JAX distributed init,
-    after which the same pjit/shard_map program spans all hosts."""
+    after which the same pjit/shard_map program spans all hosts.
+
+    Cluster topology comes from the launcher: TPU pods / Slurm / OMPI are
+    auto-detected by JAX; manual launches (and the 2-process CPU harness
+    test) set ``JAX_COORDINATOR_ADDRESS`` + ``JAX_NUM_PROCESSES`` +
+    ``JAX_PROCESS_ID``."""
     import os
 
     if "JAX_COORDINATOR_ADDRESS" in os.environ:
-        jax.distributed.initialize()
+        kwargs = {}
+        if "JAX_NUM_PROCESSES" in os.environ:
+            kwargs["num_processes"] = int(os.environ["JAX_NUM_PROCESSES"])
+        if "JAX_PROCESS_ID" in os.environ:
+            kwargs["process_id"] = int(os.environ["JAX_PROCESS_ID"])
+        jax.distributed.initialize(**kwargs)
 
 
 def param_shardings(mesh: Mesh, params, rules: Optional[dict] = None):

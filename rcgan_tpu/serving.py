@@ -34,6 +34,23 @@ import jax.numpy as jnp
 DEFAULT_BUCKETS = (1, 8, 32, 100)
 
 
+def _load_run_config(checkpoint_dir: str) -> dict:
+    """The apps archive every flag as ``config.json`` in the run dir
+    (``utils/run_dir.py::record_setting``); the checkpoint lives one level
+    below (``<run>/ckpt`` or ``<run>/checkpoint``).  Search the checkpoint
+    dir and two ancestors so a Sampler pointed at any of them self-configures."""
+    import json
+
+    d = os.path.abspath(checkpoint_dir)
+    for _ in range(3):
+        path = os.path.join(d, "config.json")
+        if os.path.exists(path):
+            with open(path) as f:
+                return json.load(f)
+        d = os.path.dirname(d)
+    return {}
+
+
 class Sampler:
     """Checkpoint-backed conditional sampler with bucketed compiled batch
     shapes (pad-and-slice for ragged requests)."""
@@ -49,8 +66,27 @@ class Sampler:
     @classmethod
     def from_checkpoint(cls, model: str, checkpoint_dir: str,
                         buckets: Sequence[int] = DEFAULT_BUCKETS, **overrides):
+        """Build the restore template ALGORITHM-AWARE: an RCGAN-U
+        checkpoint carries confusion-matrix (and perm-classifier) state
+        that a plain-rcgan template would reject at orbax restore time.
+
+        Config resolution, lowest to highest precedence: dataclass
+        defaults < the run's archived ``config.json`` (auto-detected next
+        to ``checkpoint_dir``) < explicit ``overrides`` (model-config
+        fields like ``dim_g`` and algo fields like ``algorithm=`` /
+        ``estimate_confuse=`` are routed to the right config by name).
+        """
+        import dataclasses
+
         from rcgan_tpu.data.confusion import one_coin_matrix
         from rcgan_tpu.train.checkpoint import Checkpointer
+
+        run_cfg = dict(_load_run_config(checkpoint_dir))
+        run_cfg.update(overrides)
+
+        def pick(dc_type):
+            fields = {f.name for f in dataclasses.fields(dc_type)}
+            return {k: v for k, v in run_cfg.items() if k in fields}
 
         batch = max(buckets)
         if model == "cifar":
@@ -58,8 +94,13 @@ class Sampler:
             from rcgan_tpu.models.resnet_gan import ResnetGANConfig
             from rcgan_tpu.train.cifar_loop import CifarTrainer, CifarTrainConfig
 
-            cfg = ResnetGANConfig(**overrides)
-            trainer = CifarTrainer(cfg, CifarAlgoConfig(algorithm=cfg.algorithm),
+            mkw = pick(ResnetGANConfig)
+            mkw.setdefault("algorithm", run_cfg.get("algorithm", "rcgan"))
+            cfg = ResnetGANConfig(**mkw)
+            akw = pick(CifarAlgoConfig)
+            akw["algorithm"] = cfg.algorithm
+            akw.setdefault("perm_classifier", bool(run_cfg.get("perm_classifier", False)))
+            trainer = CifarTrainer(cfg, CifarAlgoConfig(**akw),
                                    CifarTrainConfig(), one_coin_matrix(0.6, 10))
             ts = trainer.init(jax.random.key(0), batch)
             z_dim = cfg.z_dim
@@ -68,8 +109,16 @@ class Sampler:
             from rcgan_tpu.models.dcgan import DCGANConfig
             from rcgan_tpu.train.mnist_loop import MnistTrainer, MnistTrainConfig
 
-            cfg = DCGANConfig(**overrides)
-            trainer = MnistTrainer(cfg, MnistAlgoConfig(algorithm="rcgan"),
+            mkw = pick(DCGANConfig)
+            if "concat_y_layers" in mkw:
+                mkw["concat_y_layers"] = tuple(int(x) for x in mkw["concat_y_layers"])
+            cfg = DCGANConfig(**mkw)
+            akw = pick(MnistAlgoConfig)
+            akw.setdefault("algorithm", run_cfg.get("algorithm", "rcgan"))
+            # the MNIST CLI exposes perm_regularizer as --aux_classifier too
+            if "aux_classifier" in run_cfg and run_cfg["aux_classifier"] is not None:
+                akw.setdefault("perm_regularizer", bool(run_cfg["aux_classifier"]))
+            trainer = MnistTrainer(cfg, MnistAlgoConfig(**akw),
                                    MnistTrainConfig(), one_coin_matrix(0.6, 10))
             dummy = {
                 "images": jnp.zeros((batch, 28, 28, 1), jnp.float32),
@@ -167,12 +216,22 @@ def load_exported(path: str):
 
 
 # ------------------------------------------------------------------ HTTP
+# Request-size ceiling for the single-threaded HTTP endpoint: a huge ?n=
+# would block the server and exhaust device memory.
+MAX_REQUEST_SAMPLES = 1024
+
+
 def _to_png_grid(imgs: np.ndarray) -> bytes:
     from rcgan_tpu.utils.images import merge
 
+    # ceil-sided grid padded with blank tiles so every requested image
+    # appears (floor-sided truncation dropped up to 2*side images).
     n = len(imgs)
-    side = max(1, int(np.floor(np.sqrt(n))))
-    grid = merge(imgs[: side * side], (side, side))
+    side = max(1, int(np.ceil(np.sqrt(n))))
+    if side * side > n:
+        pad = np.zeros((side * side - n,) + imgs.shape[1:], imgs.dtype)
+        imgs = np.concatenate([imgs, pad], axis=0)
+    grid = merge(imgs, (side, side))
     if grid.ndim == 3 and grid.shape[-1] == 1:
         grid = grid[..., 0]
     from PIL import Image
@@ -212,10 +271,16 @@ def make_server(sampler: Sampler, port: int = 8321, host: str = "127.0.0.1"):
                     labels = [int(x) for x in q["labels"][0].split(",")]
                 else:
                     n = int(q.get("n", ["16"])[0])
+                    if not 1 <= n <= MAX_REQUEST_SAMPLES:
+                        return self._send(
+                            400, b"n out of range (1..%d)" % MAX_REQUEST_SAMPLES)
                     labels = list(np.arange(n) % 10)
                 seed = int(q.get("seed", ["0"])[0])
             except ValueError:
                 return self._send(400, b"bad labels/seed")
+            if len(labels) > MAX_REQUEST_SAMPLES:
+                return self._send(
+                    400, b"too many samples requested (max %d)" % MAX_REQUEST_SAMPLES)
             imgs = sampler.sample(labels, jax.random.key(seed))
             if sampler.model == "cifar":
                 imgs = (imgs + 1.0) / 2.0
@@ -237,9 +302,13 @@ def main(argv=None):
     p.add_argument("--export", default=None, help="write an AOT jax.export artifact here")
     p.add_argument("--serve", action="store_true", help="run the HTTP endpoint")
     p.add_argument("--port", type=int, default=8321)
+    p.add_argument("--algorithm", default=None,
+                   help="override the checkpoint's training algorithm (usually "
+                        "auto-detected from the run's config.json)")
     args = p.parse_args(argv)
 
-    sampler = Sampler.from_checkpoint(args.model, args.checkpoint_dir)
+    overrides = {} if args.algorithm is None else {"algorithm": args.algorithm}
+    sampler = Sampler.from_checkpoint(args.model, args.checkpoint_dir, **overrides)
 
     if args.export:
         b = sampler.export_sampler(args.export)

@@ -28,9 +28,12 @@ def cifar_run_dir(parent_dir: str, algorithm: str, alpha: float, run: str) -> st
     return os.path.join(parent_dir, f"{algorithm}_alpha{alpha}_run-{run}_{timestamp()}")
 
 
-def record_setting(out_dir: str, extra_config: dict | None = None):
+def record_setting(out_dir: str, extra_config: dict | None = None,
+                   script_file: str | None = None):
     """Copy this package's sources + the command line into ``out_dir`` so
-    every run is reproducible from its artifacts alone."""
+    every run is reproducible from its artifacts alone.  ``script_file``
+    additionally archives the invoking shell script (the reference's
+    ``--script_file`` contract, ``mnist/utils.py:253-270``)."""
     os.makedirs(out_dir, exist_ok=True)
     pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     dst = os.path.join(out_dir, "scripts")
@@ -39,6 +42,13 @@ def record_setting(out_dir: str, extra_config: dict | None = None):
             pkg_root, os.path.join(dst, "rcgan_tpu"),
             ignore=shutil.ignore_patterns("__pycache__", "*.pyc"),
         )
+    if script_file is not None:
+        if not os.path.exists(script_file):
+            raise FileNotFoundError(
+                f"--script_file {script_file!r} does not exist; refusing to "
+                "record an unreproducible run")
+        os.makedirs(dst, exist_ok=True)
+        shutil.copy2(script_file, dst)
     with open(os.path.join(out_dir, "command.txt"), "w") as f:
         f.write(" ".join(sys.argv) + "\n")
     if extra_config is not None:

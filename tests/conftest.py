@@ -19,3 +19,19 @@ jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "highest")
 
 assert jax.default_backend() == "cpu", jax.default_backend()
+
+import pytest  # noqa: E402
+
+# Fast tier: unit/oracle modules only (measured ~2.5 min together on a 1-CPU
+# box).  E2e apps/train/parallel/eval tests stay in the full tier.
+_SMOKE_MODULES = {
+    "test_ops", "test_utils", "test_confusion", "test_losses", "test_data",
+    "test_native", "test_models",
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        mod = getattr(item.module, "__name__", "").rsplit(".", 1)[-1]
+        if mod in _SMOKE_MODULES and "slow" not in item.keywords:
+            item.add_marker(pytest.mark.smoke)

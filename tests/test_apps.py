@@ -55,3 +55,12 @@ def test_cifar_app_end_to_end(tmp_path):
     assert (run / "checkpoint").exists()
     # learned confusion logits live in the checkpointed state
     assert "confusion_logits" in ts.groups["confusion"]
+
+
+def test_mnist_app_rejects_unsupported_dataset(tmp_path):
+    import pytest
+
+    from rcgan_tpu.apps.mnist_app import main
+
+    with pytest.raises(SystemExit):
+        main(["--dataset", "cifar", "--checkpoint_dir", str(tmp_path)])

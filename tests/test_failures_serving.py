@@ -173,3 +173,108 @@ def test_serving_http_endpoint(tmp_path):
             assert e.code == 400
     finally:
         srv.shutdown()
+
+
+def test_serving_rcganu_checkpoint_cifar(tmp_path):
+    """An RCGAN-U checkpoint carries confusion + perm-classifier state; the
+    Sampler must build a matching restore template from the run's archived
+    config.json without the caller re-specifying the algorithm."""
+    import json
+
+    from rcgan_tpu.algorithms.cifar import CifarAlgoConfig
+    from rcgan_tpu.data.confusion import one_coin_matrix
+    from rcgan_tpu.models.resnet_gan import ResnetGANConfig
+    from rcgan_tpu.serving import Sampler
+    from rcgan_tpu.train.checkpoint import Checkpointer
+    from rcgan_tpu.train.cifar_loop import CifarTrainer, CifarTrainConfig
+
+    cfg = ResnetGANConfig(dim_g=8, dim_d=8, embedding_dim=12, algorithm="rcgan-u")
+    acfg = CifarAlgoConfig(algorithm="rcgan-u", perm_classifier=True, confuse_init=True)
+    tr = CifarTrainer(cfg, acfg, CifarTrainConfig(), one_coin_matrix(0.6, 10))
+    ts = tr.init(jax.random.key(0), 4)
+    run = tmp_path / "run"
+    Checkpointer(str(run / "checkpoint")).save(0, ts, wait=True)
+    (run / "config.json").write_text(json.dumps({
+        "algorithm": "rcgan-u", "perm_classifier": True, "confuse_init": True,
+        "dim_g": 8, "dim_d": 8, "embedding_dim": 12, "perm_type": "linear",
+    }))
+
+    s = Sampler.from_checkpoint("cifar", str(run / "checkpoint"), buckets=(4,))
+    imgs = s.sample([0, 1, 2, 3])
+    assert imgs.shape == (4, 32, 32, 3)
+
+
+def test_serving_rcganu_checkpoint_mnist(tmp_path):
+    import json
+
+    from rcgan_tpu.algorithms.mnist import MnistAlgoConfig
+    from rcgan_tpu.data.confusion import one_coin_matrix
+    from rcgan_tpu.models.dcgan import DCGANConfig
+    from rcgan_tpu.serving import Sampler
+    from rcgan_tpu.train.checkpoint import Checkpointer
+    from rcgan_tpu.train.mnist_loop import MnistTrainer, MnistTrainConfig
+
+    cfg = DCGANConfig(batch_size=4, z_dim=16, gf_dim=8, df_dim=8, gfc_dim=32,
+                      dfc_dim=32, disc_type="projection")
+    acfg = MnistAlgoConfig(algorithm="rcgan", estimate_confuse=True,
+                           perm_regularizer=True)
+    tr = MnistTrainer(cfg, acfg, MnistTrainConfig(), one_coin_matrix(0.6, 10))
+    dummy = {
+        "images": jnp.zeros((4, 28, 28, 1), jnp.float32),
+        "y_real": jnp.zeros((4,), jnp.int32),
+        "y_gen": jnp.zeros((4,), jnp.int32),
+        "y_fake": jnp.zeros((4,), jnp.int32),
+        "y_real_weights": jnp.zeros((4, 10), jnp.float32),
+    }
+    ts = tr.init(jax.random.key(0), dummy)
+    run = tmp_path / "run"
+    Checkpointer(str(run / "ckpt")).save(0, ts, wait=True)
+    (run / "config.json").write_text(json.dumps({
+        "algorithm": "rcgan", "estimate_confuse": True, "aux_classifier": True,
+        "disc_type": "projection", "z_dim": 16, "gf_dim": 8, "df_dim": 8,
+        "gfc_dim": 32, "dfc_dim": 32, "batch_size": 4,
+        "spectral_norm": True, "max_norm": True, "concat_y": False,
+    }))
+
+    s = Sampler.from_checkpoint("mnist", str(run / "ckpt"), buckets=(4,))
+    imgs = s.sample([0, 1, 2, 3])
+    assert imgs.shape == (4, 28, 28, 1)
+
+
+def test_png_grid_keeps_all_images():
+    from rcgan_tpu.serving import _to_png_grid
+
+    import io as _io
+
+    from PIL import Image
+
+    imgs = np.full((3, 8, 8, 1), 0.9, np.float32)
+    png = _to_png_grid(imgs)
+    im = Image.open(_io.BytesIO(png))
+    assert im.size == (16, 16)  # ceil(sqrt(3)) = 2 -> 2x2 of 8px tiles
+    arr = np.asarray(im)
+    # three bright tiles present, one blank pad tile
+    assert (arr[:8, :8] > 200).all() and (arr[:8, 8:] > 200).all()
+    assert (arr[8:, :8] > 200).all() and (arr[8:, 8:] < 10).all()
+
+
+def test_http_request_size_limit(tmp_path):
+    import threading
+    import urllib.error
+    import urllib.request
+
+    from rcgan_tpu.serving import make_server
+
+    s = _tiny_sampler(tmp_path)
+    srv = make_server(s, port=0)
+    port = srv.server_address[1]
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        try:
+            urllib.request.urlopen(
+                f"http://127.0.0.1:{port}/sample?n=100000000", timeout=30)
+            assert False, "expected 400"
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+    finally:
+        srv.shutdown()

@@ -108,3 +108,35 @@ def test_summary_writer_writes_events(tmp_path):
     w.flush()
     files = os.listdir(tmp_path)
     assert any("tfevents" in f for f in files) or not files  # no-op mode allowed
+
+
+def test_record_setting_script_file(tmp_path):
+    import pytest
+
+    from rcgan_tpu.utils.run_dir import record_setting
+
+    script = tmp_path / "run_it.sh"
+    script.write_text("#!/bin/bash\necho hi\n")
+    out = tmp_path / "run"
+    record_setting(str(out), {"a": 1}, script_file=str(script))
+    assert (out / "scripts" / "run_it.sh").exists()
+    assert (out / "scripts" / "rcgan_tpu" / "config.py").exists()
+    assert (out / "command.txt").exists()
+
+    with pytest.raises(FileNotFoundError):
+        record_setting(str(tmp_path / "run2"), script_file=str(tmp_path / "nope.sh"))
+
+
+def test_metric_logger_plot_at_and_history(tmp_path):
+    m = MetricLogger()
+    m.plot_at("acc", 0.5, 10)
+    m.plot_at("acc", 0.7, 30)
+    prints = m.dir_flush(str(tmp_path), render=False)
+    assert prints == ["acc: 0.6"]
+    # second flush only summarizes the new tail
+    m.plot_at("acc", 0.9, 40)
+    assert m.dir_flush(str(tmp_path), render=False) == ["acc: 0.9"]
+    steps, values = m.history("acc")
+    assert list(steps) == [10, 30, 40]
+    assert m.latest("acc") == 0.9
+    assert (tmp_path / "metrics.jsonl").exists()
