@@ -159,26 +159,42 @@ def _inception_e(p, n, x):
 # --------------------------------------------------------------------------
 
 
+def inception_v3_blocks(params: Dict[str, jax.Array], x: jax.Array):
+    """Forward pass exposing every block output: returns ``(logits,
+    {block_name: activation})``.  The per-block dict is what the golden
+    tests pin — a wrong stride/padding/branch order in ANY block changes
+    that block's shape or checksum and fails loudly."""
+    blocks = {}
+
+    def rec(name, v):
+        blocks[name] = v
+        return v
+
+    x = rec("Conv2d_1a_3x3", _conv_bn(params, "Conv2d_1a_3x3", x, stride=2))
+    x = rec("Conv2d_2a_3x3", _conv_bn(params, "Conv2d_2a_3x3", x))
+    x = rec("Conv2d_2b_3x3", _conv_bn(params, "Conv2d_2b_3x3", x, padding=1))
+    x = rec("maxpool1", _max_pool(x))
+    x = rec("Conv2d_3b_1x1", _conv_bn(params, "Conv2d_3b_1x1", x))
+    x = rec("Conv2d_4a_3x3", _conv_bn(params, "Conv2d_4a_3x3", x))
+    x = rec("maxpool2", _max_pool(x))
+    for n in ("Mixed_5b", "Mixed_5c", "Mixed_5d"):
+        x = rec(n, _inception_a(params, n, x))
+    x = rec("Mixed_6a", _inception_b(params, "Mixed_6a", x))
+    for n in ("Mixed_6b", "Mixed_6c", "Mixed_6d", "Mixed_6e"):
+        x = rec(n, _inception_c(params, n, x))
+    x = rec("Mixed_7a", _inception_d(params, "Mixed_7a", x))
+    for n in ("Mixed_7b", "Mixed_7c"):
+        x = rec(n, _inception_e(params, n, x))
+    x = jnp.mean(x, axis=(1, 2))  # adaptive avg pool to 1x1
+    logits = x @ params["fc.weight"].T + params["fc.bias"]
+    return logits, blocks
+
+
 def inception_v3_logits(params: Dict[str, jax.Array], x: jax.Array) -> jax.Array:
     """``x``: [B, 299, 299, 3] already ImageNet-normalized.  Returns
     [B, 1000] logits (aux head omitted — inference only)."""
-    x = _conv_bn(params, "Conv2d_1a_3x3", x, stride=2)
-    x = _conv_bn(params, "Conv2d_2a_3x3", x)
-    x = _conv_bn(params, "Conv2d_2b_3x3", x, padding=1)
-    x = _max_pool(x)
-    x = _conv_bn(params, "Conv2d_3b_1x1", x)
-    x = _conv_bn(params, "Conv2d_4a_3x3", x)
-    x = _max_pool(x)
-    for n in ("Mixed_5b", "Mixed_5c", "Mixed_5d"):
-        x = _inception_a(params, n, x)
-    x = _inception_b(params, "Mixed_6a", x)
-    for n in ("Mixed_6b", "Mixed_6c", "Mixed_6d", "Mixed_6e"):
-        x = _inception_c(params, n, x)
-    x = _inception_d(params, "Mixed_7a", x)
-    for n in ("Mixed_7b", "Mixed_7c"):
-        x = _inception_e(params, n, x)
-    x = jnp.mean(x, axis=(1, 2))  # adaptive avg pool to 1x1
-    return x @ params["fc.weight"].T + params["fc.bias"]
+    logits, _ = inception_v3_blocks(params, x)
+    return logits
 
 
 def preprocess(images: jax.Array, source_range: str = "[-1,1]") -> jax.Array:

@@ -121,3 +121,36 @@ def test_score_math_anchor_sanity():
     mean, std = preds_to_score(preds, splits=10)
     assert abs(mean - 10.0) < 0.05
     assert std < 0.05
+
+
+def test_full_graph_golden_pin():
+    """Golden pin of the ENTIRE graph (VERDICT r2 item 3): fixed
+    random_weights(0) + a fixed input must reproduce committed per-block
+    shapes, mean/std checksums, and final logits.  A wrong stride, padding,
+    or branch order in any of the 94 layers shifts its block's checksum
+    (and everything downstream) orders of magnitude beyond tolerance.
+
+    Regenerate (only after an INTENTIONAL semantic change):
+    python scripts/gen_inception_golden.py
+    """
+    import os
+
+    golden_path = os.path.join(os.path.dirname(__file__), "golden",
+                               "inception_v3_golden.npz")
+    golden = dict(np.load(golden_path))
+
+    params = {k: jnp.asarray(v) for k, v in iv3.random_weights(0).items()}
+    x = np.random.RandomState(1).uniform(-2.0, 2.0, (2, 299, 299, 3)).astype(np.float32)
+    logits, blocks = jax.jit(iv3.inception_v3_blocks)(params, jnp.asarray(x))
+
+    block_names = {k[len("shape."):] for k in golden if k.startswith("shape.")}
+    assert set(blocks) == block_names
+    for name in sorted(block_names):
+        v = np.asarray(blocks[name])
+        assert tuple(v.shape) == tuple(golden[f"shape.{name}"]), name
+        np.testing.assert_allclose(v.mean(), golden[f"mean.{name}"],
+                                   rtol=2e-3, atol=1e-4, err_msg=name)
+        np.testing.assert_allclose(v.std(), golden[f"std.{name}"],
+                                   rtol=2e-3, atol=1e-4, err_msg=name)
+    np.testing.assert_allclose(np.asarray(logits), golden["logits"],
+                               rtol=2e-3, atol=5e-3)
