@@ -9,11 +9,12 @@ Output is ONE self-describing JSON line.  Fields:
 
 - ``value`` / ``unit``: measured fused cycles/sec on this chip (median of
   3 windows of 100 cycles; the value fetch is the end-of-work barrier).
-- ``tflops_per_sec``: achieved compute rate = flops/cycle x cycles/sec.
-  flops/cycle comes from XLA's own ``cost_analysis()`` of the compiled
-  cycle when available (``flops_source: "xla_cost_analysis"``), otherwise
-  the documented analytic estimate of ~5.4 TFLOP/cycle
-  (``flops_source: "analytic_estimate"``).
+- ``tflops_per_sec`` / ``pct_of_bf16_peak``: the PRIMARY honest headline —
+  achieved compute rate (flops/cycle x cycles/sec) and its fraction of one
+  v5e chip's 197 TFLOP/s bf16 peak.  flops/cycle comes from XLA's own
+  ``cost_analysis()`` of the compiled cycle when available
+  (``flops_source: "xla_cost_analysis"``), otherwise the last
+  compiler-counted value (``flops_source: "analytic_estimate"``).
 - ``vs_baseline`` with ``vs_baseline_is_estimate: true``: the reference
   publishes no steps/sec (BASELINE.md), so the denominator is a documented
   ESTIMATE of its single-GPU rate — the TF1.5 feed_dict loop ran 6 session
@@ -31,7 +32,12 @@ import time
 import numpy as np
 
 REFERENCE_CYCLES_PER_SEC = 1.0  # documented estimate; see module docstring
-ANALYTIC_FLOPS_PER_CYCLE = 5.4e12  # G step @ gen-batch 128 ~1.9 TF + 5 x ~0.7 TF
+# Fallback when cost_analysis is unavailable: the XLA-counted number for the
+# flagship cycle (BENCH_r02) — NOT the retracted ~5.4e12 analytic estimate,
+# which over-counted ~2.8x vs the compiler.
+ANALYTIC_FLOPS_PER_CYCLE = 1.9e12
+# One v5e chip's bf16 matmul peak; the denominator for pct_of_bf16_peak.
+V5E_BF16_PEAK_TFLOPS = 197.0
 
 
 def _timed_rate(run_one, n_iters=100, windows=3):
@@ -170,6 +176,10 @@ def main():
                 "vs_baseline_is_estimate": True,
                 "baseline_estimate_cycles_per_sec": REFERENCE_CYCLES_PER_SEC,
                 "tflops_per_sec": round(cycles_per_sec * flops_per_cycle / 1e12, 2),
+                "pct_of_bf16_peak": round(
+                    100.0 * cycles_per_sec * flops_per_cycle / 1e12 / V5E_BF16_PEAK_TFLOPS, 1
+                ),
+                "bf16_peak_tflops": V5E_BF16_PEAK_TFLOPS,
                 "flops_per_cycle": flops_per_cycle,
                 "flops_source": flops_source,
                 "extra_metrics": {

@@ -60,7 +60,8 @@ def _unpickle(path: str):
     return d[b"data"], np.asarray(d[b"labels"])
 
 
-def synthetic_cifar(n: int, seed: int = 0, chunk: int = 4096, image_seed: int | None = None):
+def synthetic_cifar(n: int, seed: int = 0, chunk: int = 4096, image_seed: int | None = None,
+                    size: int = 32):
     """Class-conditional image FAMILY with continuous intra-class variation
     (CHW-flat uint8, CIFAR pickle layout).
 
@@ -96,7 +97,8 @@ def synthetic_cifar(n: int, seed: int = 0, chunk: int = 4096, image_seed: int | 
     # the same margin from its neighbors; per-image jitter still provides
     # the intra-class variation that keeps D from memorizing.
     rs = np.random.RandomState(seed if image_seed is None else image_seed)
-    yy, xx = np.mgrid[0:32, 0:32].astype(np.float32) / 32.0  # [0,1)
+    odim = size * size * 3  # == OUTPUT_DIM at the CIFAR-native size=32
+    yy, xx = np.mgrid[0:size, 0:size].astype(np.float32) / size  # [0,1)
 
     def hue_rgb(h):  # [K] hues in [0,1) -> [K, 3] saturated RGB
         h = np.asarray(h, np.float32)[..., None] * 6.0
@@ -121,12 +123,12 @@ def synthetic_cifar(n: int, seed: int = 0, chunk: int = 4096, image_seed: int | 
     cls_grating_color = hue_rgb((k / 10 + 0.7) % 1.0) * 0.6 + 0.2
 
     labels = rs.randint(10, size=n).astype(np.int64)
-    out = np.empty((n, OUTPUT_DIM), np.uint8)
+    out = np.empty((n, odim), np.uint8)
     for lo in range(0, n, chunk):
         hi = min(lo + chunk, n)
         m = hi - lo
         y = labels[lo:hi]
-        img = np.empty((m, 3, 32, 32), np.float32)
+        img = np.empty((m, 3, size, size), np.float32)
 
         # background: smooth linear gradient in a random direction
         bg_theta = rs.rand(m, 1, 1).astype(np.float32) * (2 * np.pi)
@@ -156,8 +158,8 @@ def synthetic_cifar(n: int, seed: int = 0, chunk: int = 4096, image_seed: int | 
         )
         img += 0.18 * cls_grating_color[y][:, :, None, None] * carrier[:, None]
 
-        img += 0.02 * rs.randn(m, 3, 32, 32).astype(np.float32)
-        out[lo:hi] = (np.clip(img, 0.0, 1.0) * 255).astype(np.uint8).reshape(m, OUTPUT_DIM)
+        img += 0.02 * rs.randn(m, 3, size, size).astype(np.float32)
+        out[lo:hi] = (np.clip(img, 0.0, 1.0) * 255).astype(np.uint8).reshape(m, odim)
     return out, labels
 
 

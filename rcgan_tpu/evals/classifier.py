@@ -217,8 +217,11 @@ def mnist_classifier() -> EvalClassifier:
     return EvalClassifier(mnist_cnn, (28, 28, 1))
 
 
-def cifar_classifier(dim: int = 64) -> EvalClassifier:
-    return EvalClassifier(functools.partial(cifar_resnet, dim=dim), (32, 32, 3))
+def cifar_classifier(dim: int = 64, img_size: int = 32) -> EvalClassifier:
+    """``img_size``: the net is fully convolutional (global mean pool), so
+    any resolution works — 64 is used for the PGGAN 64x64 stage evals."""
+    return EvalClassifier(functools.partial(cifar_resnet, dim=dim),
+                          (img_size, img_size, 3))
 
 
 def generated_label_accuracy(

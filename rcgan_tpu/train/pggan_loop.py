@@ -181,7 +181,10 @@ class PGGANTrainer:
                 ts, m = self.step(ts, data_fn(it), sub, alpha, stage, trans)
                 it += 1
             if log_fn is not None:
-                log_fn(stage, trans, it, {k: float(v) for k, v in m.items()})
+                # the live ts is passed because the per-phase jitted step
+                # DONATES its input state — callers must not sample from a
+                # stale reference
+                log_fn(stage, trans, it, {k: float(v) for k, v in m.items()}, ts)
         return ts
 
     # ------------------------------------------------------------ sample

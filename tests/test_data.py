@@ -110,3 +110,14 @@ def test_center_crop_resize_and_image_folder(tmp_path):
     imgs, labels = next(gen())
     assert imgs.shape == (2, 16, 16, 3)
     assert set(np.unique(labels)) <= {0, 1}
+
+
+def test_synthetic_cifar_parameterized_size():
+    from rcgan_tpu.data.cifar10 import synthetic_cifar
+
+    x, y = synthetic_cifar(20, seed=1, size=64)
+    assert x.shape == (20, 64 * 64 * 3) and x.dtype == np.uint8
+    assert y.shape == (20,)
+    # default stays CIFAR-native
+    x32, _ = synthetic_cifar(4, seed=1)
+    assert x32.shape == (4, 3072)

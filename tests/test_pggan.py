@@ -72,8 +72,9 @@ def test_progressive_training_runs_and_learns_all_stages():
     ts = tr.train_progressive(ts, data_fn, jax.random.key(2),
                               log_fn=lambda *a: logs.append(a))
     # phases: stage1-stab, stage2-trans, stage2-stab
-    assert [(s, t) for s, t, _, _ in logs] == [(1, False), (2, True), (2, False)]
-    assert all(np.isfinite(m["d_cost"]) and np.isfinite(m["g_cost"]) for *_, m in logs)
+    assert [(s, t) for s, t, *_ in logs] == [(1, False), (2, True), (2, False)]
+    assert all(np.isfinite(m["d_cost"]) and np.isfinite(m["g_cost"])
+               for _, _, _, m, _ in logs)
     assert int(ts.step) == 9  # 3 + 3 + 3 iters
 
     # stage-2 generator block params moved (it trained during stage 2)
@@ -89,3 +90,27 @@ def test_progressive_training_runs_and_learns_all_stages():
     imgs = tr.sample(ts, jnp.zeros((2, cfg.z_dim)), jnp.zeros((2,), jnp.int32))
     assert imgs.shape == (2, full, full, 3)
     assert np.all(np.abs(np.asarray(imgs)) <= 1.0)
+
+
+def test_pggan_app_end_to_end(tmp_path):
+    """The progressive CLI app: native-size synthetic data, pinned
+    classifier at the target resolution, per-stage eval rows + sample
+    grids + stage_accuracy.json all written."""
+    import os
+
+    from rcgan_tpu.apps.pggan_app import main
+
+    run = str(tmp_path / "pg")
+    ts, rows = main([
+        "--run_dir", run, "--size", "16", "--max_stage", "2", "--dim", "8",
+        "--z_dim", "8", "--batch_size", "8", "--trans_iters", "2",
+        "--stab_iters", "2", "--train_size", "200", "--eval_samples", "8",
+        "--compute_dtype", "float32",
+    ])
+    # phases: s1 stab, s2 trans, s2 stab -> 3 eval rows
+    assert [r["stage"] for r in rows] == [1, 2, 2]
+    assert all(0.0 <= r["gen_label_acc"] <= 1.0 for r in rows)
+    assert os.path.exists(os.path.join(run, "stage_accuracy.json"))
+    assert os.path.exists(os.path.join(run, "samples_stage2_stab.png"))
+    assert os.path.exists(os.path.join(run, "config.json"))
+    assert int(ts.step) == 6
