@@ -1,0 +1,201 @@
+"""Profiler-attributed breakdown of the flagship CIFAR fused cycle
+(VERDICT r2 item 2): time each component of the 1G+5D cycle as its own
+compiled program, pull XLA cost-analysis flops/bytes for each, and print a
+roofline table (achieved TFLOP/s vs bf16 peak, achieved GB/s vs HBM peak)
+that shows which bound each piece sits against.
+
+Run on the TPU:   python scripts/profile_cycle.py
+Validate on CPU:  python scripts/profile_cycle.py --tiny --cpu
+
+The per-piece rates attribute the cycle wall-clock: cycle ~= g_step +
+n_critic * d_step (+ jitter).  An optional jax.profiler trace is attempted
+when --trace_dir is given (may be unsupported through a remote-device
+tunnel — the piece timing does not depend on it).
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+
+V5E_BF16_PEAK_TFLOPS = 197.0
+V5E_HBM_GBPS = 819.0
+
+
+def timed_rate(fn, n=50, windows=3):
+    rates = []
+    for _ in range(windows):
+        t0 = time.perf_counter()
+        out = None
+        for _ in range(n):
+            out = fn()
+        jax.block_until_ready(out)
+        rates.append(n / (time.perf_counter() - t0))
+    return float(np.median(rates))
+
+
+def cost(jitted, *args):
+    try:
+        c = jitted.lower(*args).compile().cost_analysis()
+        if isinstance(c, (list, tuple)):
+            c = c[0]
+        return float(c.get("flops", 0.0)), float(c.get("bytes accessed", 0.0))
+    except Exception as e:  # noqa: BLE001
+        print(f"  (cost_analysis unavailable: {e})")
+        return 0.0, 0.0
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--tiny", action="store_true", help="tiny dims (CPU validation)")
+    p.add_argument("--cpu", action="store_true")
+    p.add_argument("--trace_dir", default=None)
+    p.add_argument("--out", default=None, help="write the table as JSON here")
+    args = p.parse_args()
+
+    global jax
+    import jax
+    import jax.numpy as jnp
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+
+    from rcgan_tpu.algorithms.cifar import CifarAlgoConfig, disc_loss, gen_loss
+    from rcgan_tpu.core.module import Ctx, merge
+    from rcgan_tpu.data.confusion import one_coin_matrix
+    from rcgan_tpu.models.resnet_gan import ResnetGANConfig, discriminator, generator
+    from rcgan_tpu.train.cifar_loop import CifarTrainer, CifarTrainConfig
+
+    dim = 16 if args.tiny else 128
+    batch = 8 if args.tiny else 64
+    emb = 24 if args.tiny else 300
+    dtype = jnp.float32 if args.tiny else jnp.bfloat16
+    cfg = ResnetGANConfig(dim_g=dim, dim_d=dim, embedding_dim=emb)
+    acfg = CifarAlgoConfig(algorithm="rcgan", loss_type="HINGE")
+    tcfg = CifarTrainConfig(n_critic=5, gen_bs_multiple=2)
+    tr = CifarTrainer(cfg, acfg, tcfg, one_coin_matrix(0.6, 10), compute_dtype=dtype)
+    ts = tr.init(jax.random.key(0), batch)
+
+    rs = np.random.RandomState(0)
+    nc = tcfg.n_critic
+    d_batches = {
+        "images": jnp.asarray(rs.randint(0, 256, (nc, batch, cfg.output_dim)), jnp.int32),
+        "labels": jnp.asarray(rs.randint(0, 10, (nc, batch)), jnp.int32),
+        "labels_random": jnp.asarray(rs.randint(0, 10, (nc, batch)), jnp.int32),
+        "labels_biased": jnp.asarray(rs.randint(0, 10, (nc, batch)), jnp.int32),
+        "labels_inv_weights": jnp.asarray(rs.rand(nc, batch, 10), jnp.float32),
+    }
+    gb = tcfg.gen_bs_multiple * batch
+    g_labels = {
+        "random": jnp.asarray(rs.randint(0, 10, (gb,)), jnp.int32),
+        "biased": jnp.asarray(rs.randint(0, 10, (gb,)), jnp.int32),
+    }
+    params = ts.params
+    state = ts.state
+    rows = []
+
+    def piece(name, jitted, *pargs, per_cycle=1.0):
+        jitted(*pargs)  # compile+warm
+        rate = timed_rate(lambda: jitted(*pargs))
+        fl, by = cost(jitted, *pargs)
+        rows.append({
+            "piece": name, "per_cycle": per_cycle, "rate_per_sec": rate,
+            "ms_per_call": 1e3 / rate, "gflops_per_call": fl / 1e9,
+            "tflops_per_sec": rate * fl / 1e12, "gbytes_per_call": by / 1e9,
+            "gbps": rate * by / 1e9,
+            "pct_bf16_peak": 100 * rate * fl / 1e12 / V5E_BF16_PEAK_TFLOPS,
+            "pct_hbm_peak": 100 * rate * by / 1e9 / V5E_HBM_GBPS,
+        })
+        print(f"{name:28s} {1e3/rate:8.2f} ms  {rate*fl/1e12:7.2f} TF/s "
+              f"({100*rate*fl/1e12/V5E_BF16_PEAK_TFLOPS:5.1f}% MXU)  "
+              f"{rate*by/1e9:7.1f} GB/s ({100*rate*by/1e9/V5E_HBM_GBPS:5.1f}% HBM)")
+
+    # ---- full cycle
+    it = jnp.asarray(1, jnp.int32)
+    full = jax.jit(lambda ts_, rng: tr._cycle(ts_, d_batches, g_labels, it, rng,
+                                              None, None)[1]["d_cost"])
+    piece("full_cycle(1G+5D)", full, ts, jax.random.key(1))
+
+    # ---- one D micro-step (loss+grad, no Adam — the scan body's bulk)
+    sb = {
+        "real_data": jnp.asarray(rs.rand(batch, cfg.output_dim) * 2 - 1, dtype),
+        "labels": d_batches["labels"][0],
+        "labels_random": d_batches["labels_random"][0],
+        "labels_biased": d_batches["labels_biased"][0],
+        "labels_inv_weights": d_batches["labels_inv_weights"][0],
+    }
+    z64 = jnp.asarray(rs.randn(batch, cfg.z_dim), jnp.float32)
+
+    def d_grad(p, st):
+        def f(pp):
+            ctx = Ctx(params=pp, state=st, init=False, train=True, update_sn=True,
+                      compute_dtype=dtype)
+            return disc_loss(ctx, cfg, acfg, sb, z64, tr.confusion_actual)["disc_cost"]
+        return jax.grad(f)(p)
+
+    piece("d_step(loss+grad)", jax.jit(d_grad), params, state, per_cycle=5.0)
+
+    # ---- G step (loss+grad at gen batch 128)
+    zg = jnp.asarray(rs.randn(gb, cfg.z_dim), jnp.float32)
+
+    def g_grad(p, st):
+        def f(pp):
+            ctx = Ctx(params=pp, state=st, init=False, train=True, update_sn=True,
+                      compute_dtype=dtype)
+            return gen_loss(ctx, cfg, acfg, g_labels["random"], g_labels["biased"],
+                            zg, tr.confusion_actual)["gen_cost"]
+        return jax.grad(f)(p)
+
+    piece("g_step(loss+grad)", jax.jit(g_grad), params, state)
+
+    # ---- forward-only pieces
+    def gen_fwd(p, st, z, lab):
+        ctx = Ctx(params=p, state=st, init=False, train=True, update_sn=False,
+                  compute_dtype=dtype)
+        return generator(ctx, cfg, z, lab)
+
+    piece("generator_fwd(b64)", jax.jit(gen_fwd), params, state, z64,
+          d_batches["labels_random"][0], per_cycle=5.0)
+    piece("generator_fwd(b128)", jax.jit(gen_fwd), params, state, zg,
+          g_labels["random"])
+
+    def disc_fwd(p, st, x, lab):
+        ctx = Ctx(params=p, state=st, init=False, train=True, update_sn=False,
+                  compute_dtype=dtype)
+        return discriminator(ctx, cfg, x, lab)[1]
+
+    x128 = jnp.asarray(rs.rand(2 * batch, cfg.output_dim) * 2 - 1, dtype)
+    piece("disc_fwd(b128)", jax.jit(disc_fwd), params, state, x128,
+          jnp.concatenate([sb["labels"], sb["labels_random"]]), per_cycle=5.0)
+
+    # ---- attribution check
+    by = {r["piece"]: r for r in rows}
+    attributed = by["g_step(loss+grad)"]["ms_per_call"] + 5 * by["d_step(loss+grad)"]["ms_per_call"]
+    print(f"\nattribution: g_step + 5*d_step = {attributed:.2f} ms vs full cycle "
+          f"{by['full_cycle(1G+5D)']['ms_per_call']:.2f} ms "
+          f"(residual = Adam updates, SN state plumbing, scan overhead)")
+
+    if args.trace_dir:
+        try:
+            from rcgan_tpu.utils.profiling import trace
+            with trace(args.trace_dir):
+                for _ in range(3):
+                    out = full(ts, jax.random.key(3))
+                jax.block_until_ready(out)
+            print(f"trace written under {args.trace_dir}")
+        except Exception as e:  # noqa: BLE001
+            print(f"device trace unavailable here: {e}")
+
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump(rows, f, indent=2)
+        print(f"wrote {args.out}")
+
+
+if __name__ == "__main__":
+    main()
