@@ -7,8 +7,10 @@ reference hot loop (``cifar10/gan_resnet.py:919-947``).
 
 Output is ONE self-describing JSON line.  Fields:
 
-- ``value`` / ``unit``: measured fused cycles/sec on this chip (median of
-  3 windows of 100 cycles; the value fetch is the end-of-work barrier).
+- ``value`` / ``unit``: measured fused cycles/sec on this chip — the best
+  of the per-dispatch path and the app-default 20-cycle scan-block path
+  (both reported under ``extra_metrics``; median of 3 timing windows; the
+  value fetch is the end-of-work barrier).
 - ``tflops_per_sec`` / ``pct_of_bf16_peak``: the PRIMARY honest headline —
   achieved compute rate (flops/cycle x cycles/sec) and its fraction of one
   v5e chip's 197 TFLOP/s bf16 peak.  flops/cycle comes from XLA's own
@@ -115,7 +117,41 @@ def bench_cifar():
     run_one()  # warmup / compile
     float(state["ts"].step)  # sync before timing
     cycles_per_sec = _timed_rate(run_one)
-    return cycles_per_sec, flops_per_cycle, flops_source
+
+    # ---- fused scan-block path (the app's default hot loop): K cycles per
+    # dispatch over a device-resident dataset — amortizes the per-cycle
+    # host->device round trip that dominates through a remote tunnel.
+    K = 20
+    rs2 = np.random.RandomState(3)
+    n_data = 4096
+    dd = {
+        "images": rs2.randint(0, 256, (n_data, 3072)).astype(np.uint8),
+        "labels": rs2.randint(0, 10, n_data).astype(np.int32),
+        "labels_random": rs2.randint(0, 10, n_data).astype(np.int32),
+        "labels_biased": rs2.randint(0, 10, n_data).astype(np.int32),
+        "labels_inv_weights": rs2.rand(n_data, 10).astype(np.float32),
+    }
+    tr2 = CifarTrainer(cfg, acfg, tcfg, one_coin_matrix(0.6, 10), mesh=None,
+                       compute_dtype=jnp.bfloat16, device_dataset=dd)
+    ts2 = tr2.init(jax.random.key(0), batch)
+    idx = rs2.randint(0, n_data, (K, tcfg.n_critic, batch)).astype(np.int32)
+    g_r = rs2.randint(0, 10, (K, tcfg.gen_bs_multiple * batch)).astype(np.int32)
+    g_b = rs2.randint(0, 10, (K, tcfg.gen_bs_multiple * batch)).astype(np.int32)
+    st2 = {"ts": ts2, "rng": jax.random.key(4)}
+
+    def run_block():
+        st2["rng"], sub = jax.random.split(st2["rng"])
+        st2["ts"], ms = tr2.step_scan(st2["ts"], idx, g_r, g_b, sub)
+        return ms["d_cost"][-1]
+
+    try:
+        run_block()
+        float(st2["ts"].step)
+        scan_cycles_per_sec = K * _timed_rate(run_block, n_iters=10)
+    except Exception as e:  # never lose the primary metric to the extra one
+        print(f"# scan-block bench failed: {e}", flush=True)
+        scan_cycles_per_sec = 0.0
+    return cycles_per_sec, scan_cycles_per_sec, flops_per_cycle, flops_source
 
 
 def bench_mnist():
@@ -163,26 +199,29 @@ def main():
 
     enable_xla_cache()
 
-    cycles_per_sec, flops_per_cycle, flops_source = bench_cifar()
+    cycles_per_sec, scan_cycles_per_sec, flops_per_cycle, flops_source = bench_cifar()
     mnist_iters_per_sec = bench_mnist()
+    best_cycles = max(cycles_per_sec, scan_cycles_per_sec)
 
     print(
         json.dumps(
             {
                 "metric": "cifar10_sngan_train_cycles_per_sec_per_chip",
-                "value": round(cycles_per_sec, 4),
+                "value": round(best_cycles, 4),
                 "unit": "cycles/s (1 G + 5 D steps, batch 64, dim 128)",
-                "vs_baseline": round(cycles_per_sec / REFERENCE_CYCLES_PER_SEC, 4),
+                "vs_baseline": round(best_cycles / REFERENCE_CYCLES_PER_SEC, 4),
                 "vs_baseline_is_estimate": True,
                 "baseline_estimate_cycles_per_sec": REFERENCE_CYCLES_PER_SEC,
-                "tflops_per_sec": round(cycles_per_sec * flops_per_cycle / 1e12, 2),
+                "tflops_per_sec": round(best_cycles * flops_per_cycle / 1e12, 2),
                 "pct_of_bf16_peak": round(
-                    100.0 * cycles_per_sec * flops_per_cycle / 1e12 / V5E_BF16_PEAK_TFLOPS, 1
+                    100.0 * best_cycles * flops_per_cycle / 1e12 / V5E_BF16_PEAK_TFLOPS, 1
                 ),
                 "bf16_peak_tflops": V5E_BF16_PEAK_TFLOPS,
                 "flops_per_cycle": flops_per_cycle,
                 "flops_source": flops_source,
                 "extra_metrics": {
+                    "per_dispatch_cycles_per_sec": round(cycles_per_sec, 4),
+                    "scan_block20_cycles_per_sec": round(scan_cycles_per_sec, 4),
                     "mnist_fused_iters_per_sec": round(mnist_iters_per_sec, 4),
                     "mnist_unit": "iters/s (1 D + 2x(G+C) steps, batch 100)",
                 },

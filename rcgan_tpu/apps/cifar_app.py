@@ -264,7 +264,11 @@ def main(argv=None):
             labels.append(np.asarray(lab))
         return np.concatenate(outs), np.concatenate(labels)
 
-    from rcgan_tpu.train.failures import PreemptionGuard, maybe_inject_fault
+    from rcgan_tpu.train.failures import (
+        PreemptionGuard,
+        fault_injection_step,
+        maybe_inject_fault,
+    )
 
     if flags.profile_steps:
         # capture a device trace of warm steps (utils/profiling; view in TB)
@@ -287,30 +291,16 @@ def main(argv=None):
     rng = jax.random.key(42)
     pending = []
     guard = PreemptionGuard()
-    for iteration in range(start_iter, iters):
-        if guard.should_stop():
-            log.warning("preemption requested: checkpointing at iter %d and exiting", iteration)
-            ckpt.save(iteration, ts)
-            break
-        maybe_inject_fault(iteration)
-        t0 = time.time()
-        d_batches = next(d_iter)
-        g_labels = next(g_iter)
-        rng, sub = jax.random.split(rng)
-        ts, m = trainer.step(ts, d_batches, g_labels, iteration, sub)
+    t0 = time.time()
 
-        # buffer loss scalars on device; one host fetch per block (a per-step
-        # float() is a synchronizing round trip)
-        pending.append((iteration, m["d_cost"], m["g_cost"]))
-        flush_pending = len(pending) >= 50 or iteration == iters - 1 or (
-            (iteration < 500) or (iteration % 1000 == 999)
-        )
-        if flush_pending:
-            vals = np.asarray(jnp.stack([jnp.stack((d, g)) for _, d, g in pending]))
-            for (it_i, _, _), (dv, gv) in zip(pending, vals):
-                metrics.plot_at("d_cost", float(dv), it_i)
-                metrics.plot_at("g_cost", float(gv), it_i)
-            pending.clear()
+    def cadence_events(iteration, m):
+        """Everything the reference hot loop does AT an iteration after its
+        step (``gan_resnet.py:949-1007``): tb scalars, inception score,
+        dev-cost + sample grids, gen-label accuracy, flush + checkpoint.
+        Shared by the per-cycle path (called every iteration) and the fused
+        scan path (called at block boundaries, which by construction land
+        exactly on every cadence iteration)."""
+        nonlocal inception_score_max, gen_label_acc_max, rng
         if iteration % 100 == 0:
             tb.scalar("D_wgan_cost", m["d_cost"], iteration)
             tb.scalar("G_wgan_cost", m["g_cost"], iteration)
@@ -381,7 +371,78 @@ def main(argv=None):
             metrics.dir_flush(run_path, render=(iteration % 100 == 99 or iteration == iters - 1))
             if iteration >= 500 or iteration % max(1, flags.ckpt_early_every) == 0:
                 ckpt.save(iteration, ts)
-        metrics.tick()
+
+    def next_cadence_stop(i):
+        """Smallest iteration >= i at which cadence_events must see the live
+        train state: %100 tb/drift logs, the three eval cadences, the
+        optional raw-sample dump, and the checkpoint schedule."""
+        stops = [i + ((-i) % 100)]
+        for freq in (flags.inception_freq, flags.sample_freq,
+                     flags.generated_label_accuracy_freq):
+            stops.append(i + ((freq - 1 - i) % freq))
+        if flags.sample_save_freq:
+            stops.append(i + ((flags.sample_save_freq - 1 - i) % flags.sample_save_freq))
+        if i < 500:
+            stops.append(i + ((-i) % max(1, flags.ckpt_early_every)))
+        else:
+            stops.append(i + ((999 - i) % 1000))
+        stops.append(iters - 1)
+        return min(s for s in stops if s >= i)
+
+    use_scan = (flags.device_data and trainer.mesh is None
+                and flags.scan_block and flags.scan_block > 1)
+    iteration = start_iter
+    while iteration < iters:
+        if guard.should_stop():
+            log.warning("preemption requested: checkpointing at iter %d and exiting", iteration)
+            ckpt.save(iteration, ts)
+            break
+        maybe_inject_fault(iteration)
+        t0 = time.time()
+        if use_scan:
+            # fused block: up to --scan_block cycles as ONE device program,
+            # ending exactly on the next cadence iteration.  Fault injection
+            # stays exact: a block never crosses the injected step.
+            k = min(flags.scan_block, next_cadence_stop(iteration) - iteration + 1,
+                    iters - iteration)
+            fs = fault_injection_step()
+            if fs is not None and iteration < fs < iteration + k:
+                k = fs - iteration
+            idxs = np.stack([np.asarray(next(d_iter)["index"]) for _ in range(k)])
+            gls = [next(g_iter) for _ in range(k)]
+            g_random = np.stack([np.asarray(g["random"]) for g in gls])
+            g_biased = np.stack([np.asarray(g["biased"]) for g in gls])
+            rng, sub = jax.random.split(rng)
+            ts, ms = trainer.step_scan(ts, idxs, g_random, g_biased, sub)
+            host = {kk: np.asarray(v) for kk, v in ms.items()}  # one fetch/block
+            for j in range(k):
+                metrics.plot_at("d_cost", float(host["d_cost"][j]), iteration + j)
+                metrics.plot_at("g_cost", float(host["g_cost"][j]), iteration + j)
+                metrics.tick()
+            iteration += k
+            m = {kk: v[-1] for kk, v in host.items()}
+            cadence_events(iteration - 1, m)
+        else:
+            d_batches = next(d_iter)
+            g_labels = next(g_iter)
+            rng, sub = jax.random.split(rng)
+            ts, m = trainer.step(ts, d_batches, g_labels, iteration, sub)
+
+            # buffer loss scalars on device; one host fetch per block (a
+            # per-step float() is a synchronizing round trip)
+            pending.append((iteration, m["d_cost"], m["g_cost"]))
+            flush_pending = len(pending) >= 50 or iteration == iters - 1 or (
+                (iteration < 500) or (iteration % 1000 == 999)
+            )
+            if flush_pending:
+                vals = np.asarray(jnp.stack([jnp.stack((d, g)) for _, d, g in pending]))
+                for (it_i, _, _), (dv, gv) in zip(pending, vals):
+                    metrics.plot_at("d_cost", float(dv), it_i)
+                    metrics.plot_at("g_cost", float(gv), it_i)
+                pending.clear()
+            cadence_events(iteration, m)
+            metrics.tick()
+            iteration += 1
 
     # final gen-label accuracy, optionally permutation-corrected
     samples, labels = make_samples(1000)

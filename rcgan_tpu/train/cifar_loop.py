@@ -273,6 +273,47 @@ class CifarTrainer:
         return self._jitted_cycle(ts, d_batches, g_labels, jnp.asarray(iteration, jnp.int32),
                                   rng, self.device_dataset)
 
+    # ----------------------------------------------- fused multi-cycle scan
+    @functools.cached_property
+    def _jitted_scan(self):
+        """K whole cycles (each 1G+5D) as ONE ``lax.scan``ed XLA program
+        over the device-resident dataset: at ~30 cycles/s a remote-device
+        deployment pays a host->device dispatch round trip per cycle;
+        scanning K cycles amortizes it to one per block (the MNIST stack's
+        fused-epoch design, ported to the CIFAR hot loop).  Single-device
+        path; the mesh path keeps per-cycle :meth:`step`."""
+
+        def run(ts, payload, idx, g_random, g_biased):
+            dataset = dict(payload)
+            base_key = dataset.pop("__rng__")
+
+            def body(carry, inp):
+                ts = carry
+                idx_row, gr, gb = inp
+                # unique, resumable per-cycle stream keyed by step count;
+                # iteration == ts.step (the app drives them in lockstep)
+                rng = jax.random.fold_in(base_key, ts.step)
+                it = jnp.asarray(ts.step, jnp.int32)
+                ts, m = self._cycle(ts, {"index": idx_row}, {"random": gr, "biased": gb},
+                                    it, rng, None, dataset)
+                return ts, m
+
+            return jax.lax.scan(body, ts, (idx, g_random, g_biased))
+
+        return jax.jit(run, donate_argnums=0)
+
+    def step_scan(self, ts: TrainState, idx, g_random, g_biased, rng: jax.Array):
+        """Run ``idx.shape[0]`` fused cycles.  ``idx``: [K, n_critic, B]
+        int32 dataset indices; ``g_random``/``g_biased``: [K, gen_mult*B]
+        int32.  Requires a device-resident dataset.  Metrics come back
+        stacked [K, ...]."""
+        assert self.device_dataset is not None, "step_scan needs device_dataset"
+        payload = dict(self.device_dataset)
+        payload["__rng__"] = rng
+        return self._jitted_scan(ts, payload, jnp.asarray(idx, jnp.int32),
+                                 jnp.asarray(g_random, jnp.int32),
+                                 jnp.asarray(g_biased, jnp.int32))
+
     # -------------------------------------------------------------- eval
     @functools.partial(jax.jit, static_argnums=0)
     def eval_disc_cost(self, ts: TrainState, batch: dict, rng: jax.Array) -> jax.Array:

@@ -1,0 +1,18 @@
+#!/bin/bash
+# Archive a finished CIFAR run into docs/runs/ (committed evidence).
+# Usage: archive_cifar_run.sh <expt_dir> <log_file> <dest>
+set -e
+cd "$(dirname "$0")/.."
+SRC=$1; LOG=$2; DEST=$3
+mkdir -p $DEST
+cp $SRC/config.json $DEST/ 2>/dev/null || true
+for f in d_cost g_cost dev_cost gen_label_acc inception_50k; do
+  [ -f $SRC/$f.jpg ] && cp $SRC/$f.jpg $DEST/
+done
+cp $SRC/command.txt $DEST/ 2>/dev/null || true
+first=$(ls $SRC/samples_*.png 2>/dev/null | sort -V | head -1)
+last=$(ls $SRC/samples_*.png 2>/dev/null | sort -V | tail -1)
+[ -n "$first" ] && cp $first $DEST/
+[ -n "$last" ] && cp $last $DEST/
+grep -E "alpha = |iter (4999|9999|14999|19999)|final generated label accuracy|inception|gen_label_acc" $LOG | head -80 > $DEST/run.log || true
+echo "archived -> $DEST"; ls $DEST

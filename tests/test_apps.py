@@ -64,3 +64,33 @@ def test_mnist_app_rejects_unsupported_dataset(tmp_path):
 
     with pytest.raises(SystemExit):
         main(["--dataset", "cifar", "--checkpoint_dir", str(tmp_path)])
+
+
+def test_cifar_app_scan_blocks_multi_cycle(tmp_path):
+    """The fused scan path must step through multi-cycle blocks and still
+    land exactly on checkpoint-cadence iterations (blocks of 20 capped at
+    the 25-iter early-checkpoint stops)."""
+    import numpy as np
+
+    from rcgan_tpu.apps.cifar_app import main
+
+    ts, acc = main([
+        "--algorithm", "rcgan", "--alpha", "0.6", "--run", "sb",
+        "--log_file", str(tmp_path / "log.txt"), "--parent_dir", str(tmp_path),
+        "--niters", "60", "--batch_size", "8", "--dim_g", "8", "--dim_d", "8",
+        "--embedding_dim", "12", "--n_critic", "2",
+        "--inception_freq", "1000000", "--sample_freq", "1000000",
+        "--generated_label_accuracy_freq", "1000000",
+        "--mesh_devices", "1", "--nomulti_gpu_multi_batch",
+        "--eval_train_size", "128", "--synthetic_train_size", "256",
+        "--compute_dtype", "float32", "--scan_block", "20",
+        "--ckpt_early_every", "25",
+    ])
+    assert int(ts.step) == 60
+    assert 0.0 <= acc <= 1.0
+    run_dirs = [d for d in (tmp_path).iterdir() if d.name.startswith("rcgan_alpha")]
+    assert len(run_dirs) == 1
+    # early-cadence checkpoints landed on the exact 25-iter boundaries
+    ck = run_dirs[0] / "checkpoint"
+    steps = sorted(int(p.name) for p in ck.iterdir() if p.name.isdigit())
+    assert {0, 25, 50} <= set(steps)

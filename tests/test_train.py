@@ -233,3 +233,54 @@ def test_cifar_device_dataset_matches_host_fed():
     ts_d, m_d = tr_dev.step(ts_d, {"index": jnp.asarray(idx)}, g_labels, 1, jax.random.key(5))
     np.testing.assert_allclose(float(m_h["d_cost"]), float(m_d["d_cost"]), rtol=1e-6)
     np.testing.assert_allclose(float(m_h["g_cost"]), float(m_d["g_cost"]), rtol=1e-6)
+
+
+def test_cifar_step_scan_matches_sequential_steps():
+    """The fused K-cycle lax.scan path must produce the same training
+    trajectory as per-call steps over the same indices and rng derivation
+    (the CIFAR analogue of the MNIST fused-epoch equivalence)."""
+    from rcgan_tpu.apps.cifar_app import device_dataset_of
+    from rcgan_tpu.data.cifar10 import synthetic_cifar, _make_split
+
+    cfg = ResnetGANConfig(dim_g=8, dim_d=8, embedding_dim=12, algorithm="rcgan")
+    acfg = CifarAlgoConfig(algorithm="rcgan")
+    tcfg = CifarTrainConfig(n_critic=2)
+    c, _ = build_confusion(0.6, 10)
+
+    x, y = synthetic_cifar(64, seed=5)
+    split = _make_split(x, y, alpha=0.6, seed=6)
+    dd = device_dataset_of(split)
+
+    b, k = 8, 3
+    rs = np.random.RandomState(1)
+    idx = rs.randint(0, 64, (k, tcfg.n_critic, b)).astype(np.int32)
+    g_random = rs.randint(0, 10, (k, 2 * b)).astype(np.int32)
+    g_biased = rs.randint(0, 10, (k, 2 * b)).astype(np.int32)
+    base = jax.random.key(11)
+
+    tr_a = CifarTrainer(cfg, acfg, tcfg, c, device_dataset=dd)
+    ts_a = tr_a.init(jax.random.key(0), b)
+    ts_a, ms = tr_a.step_scan(ts_a, idx, g_random, g_biased, base)
+    assert ms["d_cost"].shape == (k,)
+
+    tr_b = CifarTrainer(cfg, acfg, tcfg, c, device_dataset=dd)
+    ts_b = tr_b.init(jax.random.key(0), b)
+    seq_d, seq_g = [], []
+    for j in range(k):
+        rng = jax.random.fold_in(base, ts_b.step)
+        ts_b, m = tr_b.step(ts_b, {"index": jnp.asarray(idx[j])},
+                            {"random": jnp.asarray(g_random[j]),
+                             "biased": jnp.asarray(g_biased[j])},
+                            int(ts_b.step), rng)
+        seq_d.append(float(m["d_cost"]))
+        seq_g.append(float(m["g_cost"]))
+
+    np.testing.assert_allclose(np.asarray(ms["d_cost"]), seq_d, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(ms["g_cost"]), seq_g, rtol=1e-5, atol=1e-6)
+    # functional equivalence of the final states: identical z -> samples
+    z = jnp.asarray(rs.randn(4, cfg.z_dim).astype(np.float32))
+    lab = jnp.asarray(rs.randint(0, 10, 4).astype(np.int32))
+    np.testing.assert_allclose(
+        np.asarray(tr_a.sample(ts_a, z, lab)), np.asarray(tr_b.sample(ts_b, z, lab)),
+        rtol=1e-3, atol=2e-3,
+    )
