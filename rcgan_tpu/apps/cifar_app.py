@@ -207,6 +207,10 @@ def main(argv=None):
 
     dtype = jnp.bfloat16 if flags.compute_dtype == "bfloat16" else jnp.float32
     device_dataset = device_dataset_of(train_split) if flags.device_data else None
+    dev_device_dataset = None
+    if flags.device_data:
+        dev_device_dataset = {k: jnp.asarray(v)
+                              for k, v in device_dataset_of(dev_split).items()}
     trainer = CifarTrainer(cfg, acfg, tcfg, c_alpha, mesh=mesh, compute_dtype=dtype,
                            device_dataset=device_dataset)
     ts = trainer.init(jax.random.key(0), batch_size)
@@ -337,19 +341,29 @@ def main(argv=None):
 
         if iteration % flags.sample_freq == flags.sample_freq - 1:
             # dev cost over the held-out split (gan_resnet.py:976-989)
-            dev_costs = []
-            for db in dev_split.epoch(batch_size):
-                images, labels, rand, biased, inv_w = db
-                batch = {
-                    "images": jnp.asarray(images.astype(np.int32)),
-                    "labels": jnp.asarray(labels.astype(np.int32)),
-                    "labels_random": jnp.asarray(rand.astype(np.int32)),
-                    "labels_biased": jnp.asarray(biased.astype(np.int32)),
-                    "labels_inv_weights": jnp.asarray(inv_w.astype(np.float32)),
-                }
-                rng, sub = jax.random.split(rng)
-                dev_costs.append(float(trainer.eval_disc_cost(ts, batch, sub)))
-            metrics.plot("dev_cost", float(np.mean(dev_costs)))
+            rng, sub = jax.random.split(rng)
+            if flags.device_data:
+                # one scanned device program over the resident dev split
+                # instead of an upload+sync round trip per dev batch
+                n_dev = (len(dev_split) // batch_size) * batch_size
+                dev_idx = np.arange(n_dev, dtype=np.int32).reshape(-1, batch_size)
+                dev_cost = float(trainer.eval_disc_cost_scan(
+                    ts, dev_device_dataset, dev_idx, sub))
+            else:
+                dev_costs = []
+                for db in dev_split.epoch(batch_size):
+                    images, labels, rand, biased, inv_w = db
+                    batch = {
+                        "images": jnp.asarray(images.astype(np.int32)),
+                        "labels": jnp.asarray(labels.astype(np.int32)),
+                        "labels_random": jnp.asarray(rand.astype(np.int32)),
+                        "labels_biased": jnp.asarray(biased.astype(np.int32)),
+                        "labels_inv_weights": jnp.asarray(inv_w.astype(np.float32)),
+                    }
+                    rng, sub = jax.random.split(rng)
+                    dev_costs.append(float(trainer.eval_disc_cost(ts, batch, sub)))
+                dev_cost = float(np.mean(dev_costs))
+            metrics.plot("dev_cost", dev_cost)
 
             samples = np.asarray(trainer.sample(ts, fixed_noise, fixed_labels))
             save_cifar_samples(samples, os.path.join(run_path, f"samples_{iteration}.png"))

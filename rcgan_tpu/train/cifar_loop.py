@@ -329,6 +329,32 @@ class CifarTrainer:
         out = disc_loss(ctx, self.cfg, self.acfg, sb, z, self.confusion_actual)
         return out["disc_cost"]
 
+    @functools.partial(jax.jit, static_argnums=0)
+    def eval_disc_cost_scan(self, ts: TrainState, dataset: dict, idx,
+                            rng: jax.Array) -> jax.Array:
+        """Mean dev-set discriminator cost over ``idx`` [K, B] index batches
+        of a device-resident split — ONE dispatch instead of K
+        upload+sync round trips (the reference's dev-cost loop re-fed every
+        batch through feed_dict, ``gan_resnet.py:976-989``)."""
+        keys = jax.random.split(rng, idx.shape[0])
+
+        def body(_, inp):
+            idx_row, k = inp
+            batch = {kk: jnp.take(v, idx_row, axis=0) for kk, v in dataset.items()}
+            kq, kz = jax.random.split(k)
+            real = dequantize_chw_to_hwc(batch["images"], kq, self.cfg.img_size,
+                                         self.cfg.img_dim)
+            z = jax.random.normal(kz, (real.shape[0], self.cfg.z_dim), jnp.float32)
+            sb = dict(batch, real_data=real)
+            sb.pop("images", None)
+            ctx = Ctx(params=ts.params, state=ts.state, rng=None, init=False,
+                      train=True, update_sn=False, compute_dtype=self.compute_dtype)
+            return None, disc_loss(ctx, self.cfg, self.acfg, sb, z,
+                                   self.confusion_actual)["disc_cost"]
+
+        _, costs = jax.lax.scan(body, None, (jnp.asarray(idx, jnp.int32), keys))
+        return jnp.mean(costs)
+
     # ------------------------------------------------------------ sample
     @functools.partial(jax.jit, static_argnums=0)
     def sample(self, ts: TrainState, z: jax.Array, labels: jax.Array) -> jax.Array:
