@@ -43,15 +43,21 @@ def all_label_projection_logits(feat, emb, wgan):
 
 
 def _fwd(feat, emb, wgan):
-    return all_label_projection_logits(feat, emb, wgan), (feat, emb)
+    # wgan ([B, 1], tiny) rides in residuals only to carry its dtype — a
+    # bare np.dtype is not a valid JAX residual type
+    return all_label_projection_logits(feat, emb, wgan), (feat, emb, wgan)
 
 
 def _bwd(res, g):
-    feat, emb = res
+    feat, emb, wgan = res
+    wgan_dtype = wgan.dtype
     g = g.astype(jnp.float32)
     dfeat = g @ emb.astype(jnp.float32)
     demb = g.T @ feat.astype(jnp.float32)
-    dwgan = jnp.sum(g, axis=1, keepdims=True)
+    # every cotangent must carry its primal's dtype: an f32 dwgan against a
+    # bf16 wgan trips JAX's aval consistency assert once the caller slices
+    # the logits (the unbiased all-label real pass under bf16 compute)
+    dwgan = jnp.sum(g, axis=1, keepdims=True).astype(wgan_dtype)
     return dfeat.astype(feat.dtype), demb.astype(emb.dtype), dwgan
 
 

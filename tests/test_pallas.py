@@ -171,3 +171,33 @@ def test_dequantize_kernel_distribution():
     assert diff.max() < 1.0 / 128
     # noise roughly uniform
     assert 0.2 / 128 < diff.mean() < 0.8 / 128
+
+
+def test_projection_kernel_bf16_cotangent_dtypes(monkeypatch):
+    """Regression: the fused projection kernel's VJP must return cotangents
+    in the PRIMAL dtypes.  An f32 dwgan against a bf16 wgan trips JAX's
+    aval-consistency assert when the caller slices the logits — exactly the
+    unbiased all-label real pass under bf16 compute (crashed the first
+    full-size CIFAR unbiased run on TPU)."""
+    monkeypatch.setenv("RCGAN_PALLAS_PROJ", "1")
+
+    from rcgan_tpu.ops.pallas.projection_kernel import all_label_projection_logits
+
+    rs = np.random.RandomState(0)
+    feat = jnp.asarray(rs.randn(8, 16), jnp.bfloat16)
+    emb = jnp.asarray(rs.randn(10, 16), jnp.bfloat16)
+    wgan = jnp.asarray(rs.randn(8, 1), jnp.bfloat16)
+
+    def loss(f, e, w):
+        logits = all_label_projection_logits(f, e, w)
+        return jnp.sum(logits[:4].astype(jnp.float32))  # slice like unbiased
+
+    df, de, dw = jax.grad(loss, argnums=(0, 1, 2))(feat, emb, wgan)
+    assert df.dtype == feat.dtype
+    assert de.dtype == emb.dtype
+    assert dw.dtype == wgan.dtype
+    # value check vs the jnp formula
+    ref = jnp.sum((feat.astype(jnp.float32) @ emb.astype(jnp.float32).T
+                   + wgan.astype(jnp.float32))[:4])
+    got = loss(feat, emb, wgan)
+    np.testing.assert_allclose(float(got), float(ref), rtol=2e-2)
