@@ -11,20 +11,35 @@ Production hardening on top of the checkpoint-backed sampler:
 - **AOT export** (``jax.export``): the sampler (weights baked in) can be
   serialized to a StableHLO artifact and reloaded WITHOUT the framework,
   checkpoint, or retracing — process restarts skip compile entirely.
-- **HTTP endpoint** (stdlib-only): ``GET /sample?labels=1,2,3&seed=0``
-  returns a PNG grid; ``GET /healthz`` for probes.
+- **HTTP endpoint** (stdlib-only, threaded): ``GET /sample?labels=1,2,3&
+  seed=0`` returns a PNG grid; ``GET /healthz`` for probes; ``GET /models``
+  lists the registry; ``GET /metrics`` exposes Prometheus-style counters.
+- **Cross-client request coalescing**: concurrent ``/sample`` requests are
+  merged into ONE compiled device pass by a per-model :class:`Coalescer`
+  worker — N simultaneous small requests cost one bucketed generator call,
+  not N.  Each request's latent ``z`` is derived from its own seed before
+  merging, so a request's images do not depend on who it was batched with
+  (up to CIFAR's batch-statistics cond-BN, which is batch-dependent by
+  reference semantics, ``normalization.py:47-58``).
+- **Multi-model registry + auth**: serve several checkpoints from one
+  process (``--register name=model:ckpt_dir``), optional bearer-token auth.
 
 CLI:  python -m rcgan_tpu.serving --model {mnist,cifar} --checkpoint_dir D \
         [--labels 0,1,2 --n 100 --out grid.png] [--export path.bin]
-        [--serve --port 8321]
+        [--serve --port 8321] [--register name=model:dir ...] \
+        [--auth_token TOK] [--coalesce_wait_ms 4]
 """
 
 from __future__ import annotations
 
 import argparse
+import dataclasses
 import io
+import json
 import os
-from typing import Optional, Sequence
+import threading
+import time
+from typing import Dict, Optional, Sequence, Union
 
 import numpy as np
 
@@ -139,22 +154,58 @@ class Sampler:
         return cls(trainer, restored, model, buckets, z_dim)
 
     # ----------------------------------------------------------- internals
+    def draw_z(self, rng: np.random.Generator, n: int) -> np.ndarray:
+        """Latents in the model's training prior (MNIST U[-1,1], CIFAR
+        N(0,1)), drawn host-side so a request's z is a pure function of its
+        own seed — the property coalescing relies on."""
+        if self.model == "mnist":
+            return rng.uniform(-1.0, 1.0, (n, self.z_dim)).astype(np.float32)
+        return rng.standard_normal((n, self.z_dim)).astype(np.float32)
+
+    def _run_batch_z(self, z: jax.Array, padded: np.ndarray) -> np.ndarray:
+        """One compiled pass at len(padded) (a bucket size), explicit z."""
+        if self.model == "mnist":
+            y = jnp.eye(10, dtype=jnp.float32)[padded]
+            return np.asarray(self.trainer.sample(self.ts, z, y))
+        flat = np.asarray(self.trainer.sample(self.ts, z, jnp.asarray(padded)))
+        return flat.reshape(-1, 32, 32, 3)
+
     def _run_batch(self, padded: np.ndarray, key: jax.Array) -> np.ndarray:
-        """One compiled pass at len(padded) (a bucket size)."""
         b = len(padded)
         if self.model == "mnist":
             z = jax.random.uniform(key, (b, self.z_dim), jnp.float32, -1.0, 1.0)
-            y = jnp.eye(10, dtype=jnp.float32)[padded]
-            return np.asarray(self.trainer.sample(self.ts, z, y))
-        z = jax.random.normal(key, (b, self.z_dim))
-        flat = np.asarray(self.trainer.sample(self.ts, z, jnp.asarray(padded)))
-        return flat.reshape(-1, 32, 32, 3)
+        else:
+            z = jax.random.normal(key, (b, self.z_dim))
+        return self._run_batch_z(z, padded)
 
     def _bucket_for(self, n: int) -> int:
         for b in self.buckets:
             if b >= n:
                 return b
         return self.buckets[-1]
+
+    def sample_with_z(self, z: np.ndarray, labels: Sequence[int]) -> np.ndarray:
+        """Like :meth:`sample` but with caller-provided latents [N, z_dim]
+        (the coalescer path).  Pads to the covering bucket with zero
+        latents/label 0 and slices the pads back off."""
+        labels = np.asarray(labels, np.int32)
+        assert len(z) == len(labels), (len(z), len(labels))
+        big = self.buckets[-1]
+        outs = []
+        i = 0
+        while i < len(labels):
+            chunk_l = labels[i : i + big]
+            chunk_z = z[i : i + big]
+            bucket = self._bucket_for(len(chunk_l))
+            pad = bucket - len(chunk_l)
+            if pad:
+                chunk_l = np.concatenate([chunk_l, np.zeros(pad, np.int32)])
+                chunk_z = np.concatenate(
+                    [chunk_z, np.zeros((pad, self.z_dim), np.float32)])
+            img = self._run_batch_z(jnp.asarray(chunk_z), chunk_l)
+            outs.append(img[: bucket - pad])
+            i += big
+        return np.concatenate(outs)
 
     def sample(self, labels: Sequence[int], rng: Optional[jax.Array] = None) -> np.ndarray:
         """Generate one image per label; returns [N, H, W, C] float in the
@@ -215,9 +266,169 @@ def load_exported(path: str):
     return lambda z, labels: exp.call(jnp.asarray(z, jnp.float32), jnp.asarray(labels, jnp.int32))
 
 
+# ------------------------------------------------------ metrics middleware
+class ServingMetrics:
+    """Thread-safe counters rendered in Prometheus text format at
+    ``/metrics``.  Tracks per-model request counts/latency and the
+    coalescer's batching efficiency (requests merged per device pass)."""
+
+    def __init__(self):
+        self._lock = threading.Lock()
+        self._requests: Dict[str, int] = {}
+        self._samples: Dict[str, int] = {}
+        self._seconds: Dict[str, float] = {}
+        self._errors: Dict[str, int] = {}
+        self._batches = 0
+        self._batched_requests = 0
+        self._coalesced_batches = 0
+
+    def observe_request(self, model: str, seconds: float, n_samples: int):
+        with self._lock:
+            self._requests[model] = self._requests.get(model, 0) + 1
+            self._samples[model] = self._samples.get(model, 0) + n_samples
+            self._seconds[model] = self._seconds.get(model, 0.0) + seconds
+
+    def observe_error(self, model: str):
+        with self._lock:
+            self._errors[model] = self._errors.get(model, 0) + 1
+
+    def observe_batch(self, n_requests: int):
+        with self._lock:
+            self._batches += 1
+            self._batched_requests += n_requests
+            if n_requests > 1:
+                self._coalesced_batches += 1
+
+    def snapshot(self) -> dict:
+        with self._lock:
+            return {
+                "requests": dict(self._requests),
+                "samples": dict(self._samples),
+                "errors": dict(self._errors),
+                "batches_total": self._batches,
+                "batched_requests_total": self._batched_requests,
+                "coalesced_batches_total": self._coalesced_batches,
+            }
+
+    def render(self) -> str:
+        s = self.snapshot()
+        lines = [
+            "# HELP rcgan_requests_total /sample requests served",
+            "# TYPE rcgan_requests_total counter",
+        ]
+        for m, v in sorted(s["requests"].items()):
+            lines.append(f'rcgan_requests_total{{model="{m}"}} {v}')
+        lines += ["# TYPE rcgan_samples_total counter"]
+        for m, v in sorted(s["samples"].items()):
+            lines.append(f'rcgan_samples_total{{model="{m}"}} {v}')
+        lines += ["# TYPE rcgan_request_seconds_sum counter"]
+        with self._lock:
+            for m, v in sorted(self._seconds.items()):
+                lines.append(f'rcgan_request_seconds_sum{{model="{m}"}} {v:.6f}')
+        lines += ["# TYPE rcgan_request_errors_total counter"]
+        for m, v in sorted(s["errors"].items()):
+            lines.append(f'rcgan_request_errors_total{{model="{m}"}} {v}')
+        lines += [
+            "# HELP rcgan_device_batches_total compiled generator passes",
+            "# TYPE rcgan_device_batches_total counter",
+            f"rcgan_device_batches_total {s['batches_total']}",
+            "# HELP rcgan_batched_requests_total requests summed over passes",
+            "# TYPE rcgan_batched_requests_total counter",
+            f"rcgan_batched_requests_total {s['batched_requests_total']}",
+            "# HELP rcgan_coalesced_batches_total passes that merged >1 request",
+            "# TYPE rcgan_coalesced_batches_total counter",
+            f"rcgan_coalesced_batches_total {s['coalesced_batches_total']}",
+        ]
+        return "\n".join(lines) + "\n"
+
+
+# ------------------------------------------------------ request coalescing
+@dataclasses.dataclass
+class _Pending:
+    labels: np.ndarray
+    z: np.ndarray
+    event: threading.Event
+    out: Optional[np.ndarray] = None
+    err: Optional[BaseException] = None
+
+
+class Coalescer:
+    """Cross-client batch coalescing: concurrent requests enqueue and a
+    single worker thread drains the queue into ONE ``sample_with_z`` pass
+    (which buckets/pads as usual), then scatters the outputs back.
+
+    Per-request latents are drawn host-side from the request's own seed
+    (:meth:`Sampler.draw_z`) BEFORE merging, so what a request gets does not
+    depend on its batch-mates.  The worker waits ``max_wait_ms`` after the
+    first enqueue to let concurrent requests pile in — bounded added latency
+    for an N× cut in generator passes under concurrency.
+    """
+
+    def __init__(self, sampler: Sampler, max_wait_ms: float = 4.0,
+                 metrics: Optional[ServingMetrics] = None):
+        self.sampler = sampler
+        self._wait_s = max_wait_ms / 1e3
+        self.metrics = metrics
+        self._cv = threading.Condition()
+        self._queue: list = []
+        self._stop = False
+        self._thread = threading.Thread(target=self._loop, daemon=True)
+        self._thread.start()
+
+    def submit(self, labels: Sequence[int], seed: int, timeout: float = 300.0) -> np.ndarray:
+        rng = np.random.default_rng(seed)
+        labels = np.asarray(labels, np.int32)
+        req = _Pending(labels=labels, z=self.sampler.draw_z(rng, len(labels)),
+                       event=threading.Event())
+        with self._cv:
+            if self._stop:
+                raise RuntimeError("coalescer closed")
+            self._queue.append(req)
+            self._cv.notify()
+        if not req.event.wait(timeout):
+            raise TimeoutError("sample request timed out")
+        if req.err is not None:
+            raise req.err
+        return req.out
+
+    def close(self):
+        with self._cv:
+            self._stop = True
+            self._cv.notify()
+        self._thread.join(timeout=5.0)
+
+    def _loop(self):
+        while True:
+            with self._cv:
+                while not self._queue and not self._stop:
+                    self._cv.wait(0.25)
+                if self._stop and not self._queue:
+                    return
+            time.sleep(self._wait_s)  # gather window
+            with self._cv:
+                reqs, self._queue = self._queue, []
+            if not reqs:
+                continue
+            try:
+                z = np.concatenate([r.z for r in reqs])
+                labels = np.concatenate([r.labels for r in reqs])
+                imgs = self.sampler.sample_with_z(z, labels)
+                i = 0
+                for r in reqs:
+                    r.out = imgs[i : i + len(r.labels)]
+                    i += len(r.labels)
+            except BaseException as e:  # noqa: BLE001 — scatter to callers
+                for r in reqs:
+                    r.err = e
+            if self.metrics is not None:
+                self.metrics.observe_batch(len(reqs))
+            for r in reqs:
+                r.event.set()
+
+
 # ------------------------------------------------------------------ HTTP
-# Request-size ceiling for the single-threaded HTTP endpoint: a huge ?n=
-# would block the server and exhaust device memory.
+# Request-size ceiling for the HTTP endpoint: a huge ?n= would block the
+# device and exhaust memory.
 MAX_REQUEST_SAMPLES = 1024
 
 
@@ -242,11 +453,39 @@ def _to_png_grid(imgs: np.ndarray) -> bytes:
     return buf.getvalue()
 
 
-def make_server(sampler: Sampler, port: int = 8321, host: str = "127.0.0.1"):
-    """stdlib HTTP server: GET /healthz; GET /sample?labels=1,2,3&seed=0
-    (or ?n=16 for random labels) -> image/png grid."""
-    from http.server import BaseHTTPRequestHandler, HTTPServer
+def make_server(models: Union[Sampler, Dict[str, Sampler]], port: int = 8321,
+                host: str = "127.0.0.1", auth_token: Optional[str] = None,
+                coalesce_wait_ms: float = 4.0,
+                metrics: Optional[ServingMetrics] = None):
+    """Threaded stdlib HTTP server over a model registry.
+
+    - ``GET /healthz`` — liveness (never auth-gated).
+    - ``GET /models`` — JSON list of registered model names.
+    - ``GET /metrics`` — Prometheus text (request/sample/latency counters +
+      coalescer batching stats).
+    - ``GET /sample?labels=1,2,3&seed=0[&model=name]`` (or ``?n=16``) —
+      PNG grid.  Concurrent requests to the same model are coalesced into
+      one device pass (see :class:`Coalescer`).
+    - ``auth_token``: if set, every endpoint but ``/healthz`` requires
+      ``Authorization: Bearer <token>`` (or ``?token=``).
+
+    ``models`` may be a single :class:`Sampler` (registered as
+    ``"default"``) or a name→Sampler dict.  The returned server exposes
+    ``.metrics`` and ``.coalescers`` and shuts the workers down on
+    ``server_close()``.
+    """
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
     from urllib.parse import parse_qs, urlparse
+
+    registry = {"default": models} if isinstance(models, Sampler) else dict(models)
+    if not registry:
+        raise ValueError("empty model registry")
+    default_name = "default" if "default" in registry else sorted(registry)[0]
+    mx = metrics if metrics is not None else ServingMetrics()
+    coalescers = {
+        name: Coalescer(s, max_wait_ms=coalesce_wait_ms, metrics=mx)
+        for name, s in registry.items()
+    }
 
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, *a):  # quiet
@@ -259,13 +498,32 @@ def make_server(sampler: Sampler, port: int = 8321, host: str = "127.0.0.1"):
             self.end_headers()
             self.wfile.write(body)
 
+        def _authorized(self, q) -> bool:
+            if auth_token is None:
+                return True
+            header = self.headers.get("Authorization", "")
+            if header == f"Bearer {auth_token}":
+                return True
+            return q.get("token", [None])[0] == auth_token
+
         def do_GET(self):
             url = urlparse(self.path)
+            q = parse_qs(url.query)
             if url.path == "/healthz":
                 return self._send(200, b"ok")
+            if not self._authorized(q):
+                return self._send(401, b"unauthorized")
+            if url.path == "/models":
+                body = json.dumps(sorted(registry)).encode()
+                return self._send(200, body, "application/json")
+            if url.path == "/metrics":
+                return self._send(200, mx.render().encode(),
+                                  "text/plain; version=0.0.4")
             if url.path != "/sample":
                 return self._send(404, b"not found")
-            q = parse_qs(url.query)
+            name = q.get("model", [default_name])[0]
+            if name not in registry:
+                return self._send(404, b"unknown model %s" % name.encode())
             try:
                 if "labels" in q:
                     labels = [int(x) for x in q["labels"][0].split(",")]
@@ -281,12 +539,29 @@ def make_server(sampler: Sampler, port: int = 8321, host: str = "127.0.0.1"):
             if len(labels) > MAX_REQUEST_SAMPLES:
                 return self._send(
                     400, b"too many samples requested (max %d)" % MAX_REQUEST_SAMPLES)
-            imgs = sampler.sample(labels, jax.random.key(seed))
-            if sampler.model == "cifar":
+            t0 = time.perf_counter()
+            try:
+                imgs = coalescers[name].submit(labels, seed)
+            except Exception:  # noqa: BLE001
+                mx.observe_error(name)
+                return self._send(500, b"sampling failed")
+            mx.observe_request(name, time.perf_counter() - t0, len(labels))
+            if registry[name].model == "cifar":
                 imgs = (imgs + 1.0) / 2.0
             return self._send(200, _to_png_grid(imgs), "image/png")
 
-    return HTTPServer((host, port), Handler)
+    class Server(ThreadingHTTPServer):
+        daemon_threads = True
+
+        def server_close(self):
+            for c in coalescers.values():
+                c.close()
+            super().server_close()
+
+    srv = Server((host, port), Handler)
+    srv.metrics = mx
+    srv.coalescers = coalescers
+    return srv
 
 
 def main(argv=None):
@@ -305,6 +580,15 @@ def main(argv=None):
     p.add_argument("--algorithm", default=None,
                    help="override the checkpoint's training algorithm (usually "
                         "auto-detected from the run's config.json)")
+    p.add_argument("--register", action="append", default=[],
+                   metavar="NAME=MODEL:CKPT_DIR",
+                   help="register extra models on the HTTP registry "
+                        "(repeatable), e.g. --register mnist_u=mnist:./run2/ckpt")
+    p.add_argument("--auth_token", default=None,
+                   help="require Authorization: Bearer <token> on every "
+                        "endpoint except /healthz")
+    p.add_argument("--coalesce_wait_ms", type=float, default=4.0,
+                   help="gather window for cross-client request coalescing")
     args = p.parse_args(argv)
 
     overrides = {} if args.algorithm is None else {"algorithm": args.algorithm}
@@ -316,8 +600,19 @@ def main(argv=None):
         return
 
     if args.serve:
-        srv = make_server(sampler, args.port)
-        print(f"serving on http://127.0.0.1:{args.port} (/healthz, /sample)")
+        registry = {"default": sampler}
+        for spec in args.register:
+            try:
+                name, rest = spec.split("=", 1)
+                kind, ckpt = rest.split(":", 1)
+            except ValueError:
+                raise SystemExit(f"bad --register spec {spec!r} "
+                                 "(want NAME=MODEL:CKPT_DIR)")
+            registry[name] = Sampler.from_checkpoint(kind, ckpt)
+        srv = make_server(registry, args.port, auth_token=args.auth_token,
+                          coalesce_wait_ms=args.coalesce_wait_ms)
+        print(f"serving {sorted(registry)} on http://127.0.0.1:{args.port} "
+              "(/healthz, /models, /metrics, /sample)")
         srv.serve_forever()
         return
 
