@@ -3,6 +3,8 @@ single-device run on identical data — the property the reference's 1-GPU
 device-aliasing hack implicitly asserts (``cifar10/gan_resnet.py:187-188``,
 SURVEY §4)."""
 
+import os
+
 import numpy as np
 import pytest
 
@@ -181,6 +183,29 @@ def test_checkpoint_sharded_roundtrip(tmp_path):
     )
     assert int(restored.step) == int(ts.step)
     ck.close()
+
+
+@pytest.mark.slow
+def test_checkpoint_sharded_16dev_scale(tmp_path):
+    """Scale the cross-mesh-shape sharded restore past the session's 8-device
+    cap (ROADMAP item 5): a fresh interpreter with 16 virtual CPU devices
+    saves from a 4x4 ('data','model') mesh and restores onto 8x2, asserting
+    bit-equality and placement.  Subprocess because device count is fixed at
+    jax import."""
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    worker = os.path.join(repo, "tests", "ckpt_scale_worker.py")
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)  # the worker sets its own 16-device flag
+    env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+    out = subprocess.run(
+        [sys.executable, worker, str(tmp_path / "ckpt")],
+        capture_output=True, text=True, env=env, cwd=repo, timeout=900,
+    )
+    assert out.returncode == 0, out.stdout[-4000:] + out.stderr[-4000:]
+    assert "RESULT ok" in out.stdout
 
 
 def test_gspmd_dp_tp_cycle():
