@@ -13,10 +13,16 @@ Output is ONE self-describing JSON line.  Fields:
   value fetch is the end-of-work barrier).
 - ``tflops_per_sec`` / ``pct_of_bf16_peak``: the PRIMARY honest headline —
   achieved compute rate (flops/cycle x cycles/sec) and its fraction of one
-  v5e chip's 197 TFLOP/s bf16 peak.  flops/cycle comes from XLA's own
-  ``cost_analysis()`` of the compiled cycle when available
-  (``flops_source: "xla_cost_analysis"``), otherwise the last
-  compiler-counted value (``flops_source: "analytic_estimate"``).
+  v5e chip's 197 TFLOP/s bf16 peak.  flops/cycle is XLA's own count of the
+  STATIC-UNROLL variant of the cycle (``flops_source:
+  "xla_lowered_unrolled"``): cost_analysis() counts a lax.scan body once
+  regardless of trip count, so counting the rolled hot program would drop
+  n_critic-1 of the 5 D steps (~2x under-report; that rolled count is
+  still surfaced as ``flops_per_cycle_rolled_scan``).  The unrolled
+  variant is numerically identical straight-line code
+  (tests/test_train.py::test_cifar_static_unroll_matches_rolled) and is
+  only lowered, never run.  Fallback: the last known value
+  (``flops_source: "analytic_estimate"``).
 - ``vs_baseline`` with ``vs_baseline_is_estimate: true``: the reference
   publishes no steps/sec (BASELINE.md), so the denominator is a documented
   ESTIMATE of its single-GPU rate — the TF1.5 feed_dict loop ran 6 session
@@ -34,10 +40,12 @@ import time
 import numpy as np
 
 REFERENCE_CYCLES_PER_SEC = 1.0  # documented estimate; see module docstring
-# Fallback when cost_analysis is unavailable: the XLA-counted number for the
-# flagship cycle (BENCH_r02) — NOT the retracted ~5.4e12 analytic estimate,
-# which over-counted ~2.8x vs the compiler.
-ANALYTIC_FLOPS_PER_CYCLE = 1.9e12
+# Fallback when cost analysis is unavailable: the lowered-HLO count of the
+# static-unroll flagship cycle (scan body counted n_critic times; see the
+# module docstring — the rolled-program count, 1.9e12, misses 4 of the 5 D
+# bodies, and the old 5.4e12 analytic estimate double-counted a generator
+# backward inside each D step).
+ANALYTIC_FLOPS_PER_CYCLE = 3.64e12
 # One v5e chip's bf16 matmul peak; the denominator for pct_of_bf16_peak.
 V5E_BF16_PEAK_TFLOPS = 197.0
 
@@ -56,10 +64,15 @@ def _timed_rate(run_one, n_iters=100, windows=3):
     return float(np.median(rates))
 
 
-def _xla_flops(jitted, *args):
-    """Best-effort flops/call from XLA cost analysis; None if unavailable."""
+def _xla_flops(jitted, *args, compiled=True):
+    """Best-effort flops/call from XLA cost analysis; None if unavailable.
+    ``compiled=False`` counts the lowered (pre-optimization) HLO — no
+    backend compile, and within ~2% of the compiled count for this model
+    (flops are shape-determined; it's 'bytes accessed' that needs the
+    optimized program)."""
     try:
-        cost = jitted.lower(*args).compile().cost_analysis()
+        lowered = jitted.lower(*args)
+        cost = (lowered.compile() if compiled else lowered).cost_analysis()
         if isinstance(cost, (list, tuple)):
             cost = cost[0]
         flops = float(cost.get("flops", 0.0))
@@ -99,12 +112,20 @@ def bench_cifar():
         "biased": jnp.asarray(rs.randint(0, 10, (tcfg.gen_bs_multiple * batch,)), jnp.int32),
     }
 
-    flops_per_cycle = _xla_flops(
-        trainer._jitted_cycle, ts, d_batches, g_labels, jnp.asarray(1, jnp.int32),
-        jax.random.key(1), None,
+    it1 = jnp.asarray(1, jnp.int32)
+    # True per-cycle flops: count the numerically-identical static-unroll
+    # cycle (lowered only, never compiled/run) — the rolled program's count
+    # misses n_critic-1 scan-body repetitions (see module docstring).
+    unrolled = jax.jit(
+        lambda t, r: trainer._cycle(t, d_batches, g_labels, it1, r, None, None,
+                                    static_unroll=True)
     )
-    flops_source = "xla_cost_analysis" if flops_per_cycle else "analytic_estimate"
+    flops_per_cycle = _xla_flops(unrolled, ts, jax.random.key(1), compiled=False)
+    flops_source = "xla_lowered_unrolled" if flops_per_cycle else "analytic_estimate"
     flops_per_cycle = flops_per_cycle or ANALYTIC_FLOPS_PER_CYCLE
+    flops_rolled = _xla_flops(
+        trainer._jitted_cycle, ts, d_batches, g_labels, it1, jax.random.key(1), None,
+    )
 
     state = {"ts": ts, "rng": jax.random.key(1), "it": 1}
 
@@ -151,7 +172,7 @@ def bench_cifar():
     except Exception as e:  # never lose the primary metric to the extra one
         print(f"# scan-block bench failed: {e}", flush=True)
         scan_cycles_per_sec = 0.0
-    return cycles_per_sec, scan_cycles_per_sec, flops_per_cycle, flops_source
+    return cycles_per_sec, scan_cycles_per_sec, flops_per_cycle, flops_source, flops_rolled
 
 
 def bench_mnist():
@@ -199,7 +220,7 @@ def main():
 
     enable_xla_cache()
 
-    cycles_per_sec, scan_cycles_per_sec, flops_per_cycle, flops_source = bench_cifar()
+    cycles_per_sec, scan_cycles_per_sec, flops_per_cycle, flops_source, flops_rolled = bench_cifar()
     mnist_iters_per_sec = bench_mnist()
     best_cycles = max(cycles_per_sec, scan_cycles_per_sec)
 
@@ -219,6 +240,7 @@ def main():
                 "bf16_peak_tflops": V5E_BF16_PEAK_TFLOPS,
                 "flops_per_cycle": flops_per_cycle,
                 "flops_source": flops_source,
+                "flops_per_cycle_rolled_scan": flops_rolled,
                 "extra_metrics": {
                     "per_dispatch_cycles_per_sec": round(cycles_per_sec, 4),
                     "scan_block20_cycles_per_sec": round(scan_cycles_per_sec, 4),

@@ -105,10 +105,21 @@ class CifarTrainer:
 
     # ------------------------------------------------------- cycle body
     def _cycle(self, ts: TrainState, d_batches: dict, g_labels: dict, iteration, rng,
-               axis=None, dataset=None):
+               axis=None, dataset=None, static_unroll=False):
         """Body run per device-shard.  ``d_batches`` leaves have leading dim
         [n_critic, local_b]; ``g_labels`` leaves [gen_bs_multiple*local_b].
         ``axis``: mesh axis name when running under shard_map, else None.
+
+        ``static_unroll``: emit the steady-state cycle (iteration > 0) with
+        Python-level control flow — the G step unconditionally and the
+        n_critic D steps as straight-line code instead of ``lax.cond`` /
+        ``lax.scan``.  Numerically identical to the rolled form for
+        iteration > 0 (asserted in tests/test_train.py); it exists because
+        XLA's ``cost_analysis()`` counts a while-loop body ONCE regardless
+        of trip count (and a conditional as the max branch), so the rolled
+        program under-reports per-cycle flops ~3x.  Profiling/bench code
+        counts flops on this variant; the hot path stays rolled (compiles
+        ~5x faster, same machine code per step).
         """
         cfg, acfg, tcfg = self.cfg, self.acfg, self.tcfg
         # All per-example noise (z, dequantization) is keyed by GLOBAL batch
@@ -166,9 +177,12 @@ class CifarTrainer:
         def g_skip(operand):
             return operand, jnp.zeros(())
 
-        (groups, state, opt_states), gen_cost = jax.lax.cond(
-            iteration > 0, g_step, g_skip, (groups, state, opt_states)
-        )
+        if static_unroll:
+            (groups, state, opt_states), gen_cost = g_step((groups, state, opt_states))
+        else:
+            (groups, state, opt_states), gen_cost = jax.lax.cond(
+                iteration > 0, g_step, g_skip, (groups, state, opt_states)
+            )
 
         # ---------------- N_CRITIC D steps over distinct micro-batches
         # (gan_resnet.py:936-947), as a lax.scan inside the same program.
@@ -223,9 +237,19 @@ class CifarTrainer:
             return (disc_params, d_opt_state, state), d_out["disc_cost"]
 
         keys = jax.random.split(jax.random.fold_in(rng, 2), tcfg.n_critic)
-        (groups["disc"], opt_states["disc"], state), d_costs = jax.lax.scan(
-            d_step, (groups["disc"], opt_states["disc"], state), (d_batches, keys)
-        )
+        if static_unroll:
+            carry = (groups["disc"], opt_states["disc"], state)
+            d_cost_list = []
+            for i in range(tcfg.n_critic):
+                row = jax.tree_util.tree_map(lambda x: x[i], d_batches)
+                carry, c = d_step(carry, (row, keys[i]))
+                d_cost_list.append(c)
+            (groups["disc"], opt_states["disc"], state) = carry
+            d_costs = jnp.stack(d_cost_list)
+        else:
+            (groups["disc"], opt_states["disc"], state), d_costs = jax.lax.scan(
+                d_step, (groups["disc"], opt_states["disc"], state), (d_batches, keys)
+            )
 
         metrics = {
             "d_cost": d_costs[-1],

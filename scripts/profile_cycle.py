@@ -11,6 +11,14 @@ The per-piece rates attribute the cycle wall-clock: cycle ~= g_step +
 n_critic * d_step (+ jitter).  An optional jax.profiler trace is attempted
 when --trace_dir is given (may be unsupported through a remote-device
 tunnel — the piece timing does not depend on it).
+
+FLOP-counting subtlety (discovered round 3): XLA's ``cost_analysis()``
+counts a ``lax.scan``/while-loop body ONCE regardless of trip count and a
+``lax.cond`` as its max branch, so the rolled cycle's counted flops miss
+n_critic-1 of the D bodies (~2x under-report at the flagship config).  The
+honest per-cycle number comes from the numerically-identical
+``static_unroll`` variant (``train/cifar_loop.py``), reported here as
+``full_cycle(unrolled count)``.
 """
 
 import argparse
@@ -56,6 +64,11 @@ def main():
     p.add_argument("--cpu", action="store_true")
     p.add_argument("--trace_dir", default=None)
     p.add_argument("--out", default=None, help="write the table as JSON here")
+    p.add_argument("--compile_unrolled", action="store_true",
+                   help="also COMPILE the static-unroll cycle for a "
+                        "post-optimization flops+bytes count (slow: the "
+                        "body is ~5x the rolled program; the lowered-HLO "
+                        "flop count is always reported and is within ~2%)")
     args = p.parse_args()
 
     global jax
@@ -121,7 +134,62 @@ def main():
                                               None, None)[1]["d_cost"])
     piece("full_cycle(1G+5D)", full, ts, jax.random.key(1))
 
-    # ---- one D micro-step (loss+grad, no Adam — the scan body's bulk)
+    # ---- counted-but-not-run static-unroll cycle: XLA cost_analysis counts
+    # a lax.scan body ONCE (and a lax.cond as its max branch), so the rolled
+    # program's "flops" under-reports the true per-cycle work ~2x.  The
+    # static_unroll variant is numerically identical straight-line code
+    # (tests/test_train.py::test_cifar_static_unroll_matches_rolled); its
+    # lowered-HLO count is the honest flops/cycle denominator-free number.
+    unrolled = jax.jit(lambda ts_, rng: tr._cycle(ts_, d_batches, g_labels, it, rng,
+                                                  None, None, static_unroll=True))
+    try:
+        cl = unrolled.lower(ts, jax.random.key(1)).cost_analysis()
+        if isinstance(cl, (list, tuple)):
+            cl = cl[0]
+        true_flops = float(cl.get("flops", 0.0))
+    except Exception as e:  # noqa: BLE001
+        print(f"  (lowered unrolled count unavailable: {e})")
+        true_flops = 0.0
+    cyc = rows[0]
+    if true_flops > 0:
+        rate = cyc["rate_per_sec"]
+        rows.append({
+            "piece": "full_cycle(unrolled count)", "per_cycle": 1.0,
+            "rate_per_sec": rate, "ms_per_call": cyc["ms_per_call"],
+            "gflops_per_call": true_flops / 1e9,
+            "tflops_per_sec": rate * true_flops / 1e12,
+            "gbytes_per_call": None, "gbps": None,
+            "pct_bf16_peak": 100 * rate * true_flops / 1e12 / V5E_BF16_PEAK_TFLOPS,
+            "pct_hbm_peak": None,
+            "note": "flops from the lowered static-unroll program (scan body "
+                    "counted n_critic times); timing is the rolled hot path",
+        })
+        print(f"{'full_cycle(unrolled count)':28s} {cyc['ms_per_call']:8.2f} ms  "
+              f"{rate*true_flops/1e12:7.2f} TF/s "
+              f"({100*rate*true_flops/1e12/V5E_BF16_PEAK_TFLOPS:5.1f}% MXU)  "
+              f"[true flops/cycle = {true_flops/1e9:.0f} GF]")
+    if args.compile_unrolled:
+        fl_u, by_u = cost(unrolled, ts, jax.random.key(1))
+        rate = cyc["rate_per_sec"]
+        rows.append({
+            "piece": "full_cycle(unrolled compiled)", "per_cycle": 1.0,
+            "rate_per_sec": rate, "ms_per_call": cyc["ms_per_call"],
+            "gflops_per_call": fl_u / 1e9, "tflops_per_sec": rate * fl_u / 1e12,
+            "gbytes_per_call": by_u / 1e9, "gbps": rate * by_u / 1e9,
+            "pct_bf16_peak": 100 * rate * fl_u / 1e12 / V5E_BF16_PEAK_TFLOPS,
+            "pct_hbm_peak": 100 * rate * by_u / 1e9 / V5E_HBM_GBPS,
+            "note": "post-optimization count of the straight-line cycle: the "
+                    "true per-cycle flops AND bytes",
+        })
+        print(f"{'full_cycle(unrolled compiled)':28s} {cyc['ms_per_call']:8.2f} ms  "
+              f"{rate*fl_u/1e12:7.2f} TF/s "
+              f"({100*rate*fl_u/1e12/V5E_BF16_PEAK_TFLOPS:5.1f}% MXU)  "
+              f"{rate*by_u/1e9:7.1f} GB/s ({100*rate*by_u/1e9/V5E_HBM_GBPS:5.1f}% HBM)")
+
+    # ---- one D micro-step: loss + grad wrt the DISC group only, exactly the
+    # scan body's differentiation structure (an earlier revision of this
+    # script differentiated wrt ALL params, which silently added the full
+    # generator backward to the "d_step" piece — ~2x its true flops).
     sb = {
         "real_data": jnp.asarray(rs.rand(batch, cfg.output_dim) * 2 - 1, dtype),
         "labels": d_batches["labels"][0],
@@ -130,28 +198,31 @@ def main():
         "labels_inv_weights": d_batches["labels_inv_weights"][0],
     }
     z64 = jnp.asarray(rs.randn(batch, cfg.z_dim), jnp.float32)
+    groups0 = ts.groups
 
-    def d_grad(p, st):
-        def f(pp):
-            ctx = Ctx(params=pp, state=st, init=False, train=True, update_sn=True,
-                      compute_dtype=dtype)
+    def d_grad(d_params, st):
+        def f(dp):
+            parts = [g for n, g in groups0.items() if n != "disc"]
+            ctx = Ctx(params=merge(*parts, dp), state=st, init=False, train=True,
+                      update_sn=True, compute_dtype=dtype)
             return disc_loss(ctx, cfg, acfg, sb, z64, tr.confusion_actual)["disc_cost"]
-        return jax.grad(f)(p)
+        return jax.grad(f)(d_params)
 
-    piece("d_step(loss+grad)", jax.jit(d_grad), params, state, per_cycle=5.0)
+    piece("d_step(loss+grad wrt D)", jax.jit(d_grad), groups0["disc"], state, per_cycle=5.0)
 
-    # ---- G step (loss+grad at gen batch 128)
+    # ---- G step (loss + grad wrt the GEN group only, at gen batch 128)
     zg = jnp.asarray(rs.randn(gb, cfg.z_dim), jnp.float32)
 
-    def g_grad(p, st):
-        def f(pp):
-            ctx = Ctx(params=pp, state=st, init=False, train=True, update_sn=True,
-                      compute_dtype=dtype)
+    def g_grad(g_params, st):
+        def f(gp):
+            parts = [g for n, g in groups0.items() if n != "gen"]
+            ctx = Ctx(params=merge(*parts, gp), state=st, init=False, train=True,
+                      update_sn=True, compute_dtype=dtype)
             return gen_loss(ctx, cfg, acfg, g_labels["random"], g_labels["biased"],
                             zg, tr.confusion_actual)["gen_cost"]
-        return jax.grad(f)(p)
+        return jax.grad(f)(g_params)
 
-    piece("g_step(loss+grad)", jax.jit(g_grad), params, state)
+    piece("g_step(loss+grad wrt G)", jax.jit(g_grad), groups0["gen"], state)
 
     # ---- forward-only pieces
     def gen_fwd(p, st, z, lab):
@@ -175,10 +246,12 @@ def main():
 
     # ---- attribution check
     by = {r["piece"]: r for r in rows}
-    attributed = by["g_step(loss+grad)"]["ms_per_call"] + 5 * by["d_step(loss+grad)"]["ms_per_call"]
+    attributed = (by["g_step(loss+grad wrt G)"]["ms_per_call"]
+                  + 5 * by["d_step(loss+grad wrt D)"]["ms_per_call"])
     print(f"\nattribution: g_step + 5*d_step = {attributed:.2f} ms vs full cycle "
           f"{by['full_cycle(1G+5D)']['ms_per_call']:.2f} ms "
-          f"(residual = Adam updates, SN state plumbing, scan overhead)")
+          f"(residual = Adam updates, SN state plumbing, scan overhead, and "
+          f"whole-cycle fusion savings vs standalone grad materialization)")
 
     if args.trace_dir:
         try:
