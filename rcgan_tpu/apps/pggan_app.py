@@ -45,6 +45,10 @@ def parse_args(argv=None):
     p.add_argument("--eval_samples", type=int, default=2000)
     p.add_argument("--compute_dtype", default="bfloat16")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--conditional", action=argparse.BooleanOptionalAction, default=True,
+                   help="projection-conditional critic (without it the "
+                        "label-conditioned generator has no conditioning "
+                        "signal and gen-label-acc stays at chance)")
     return p.parse_args(argv)
 
 
@@ -89,7 +93,8 @@ def main(argv=None):
              args.size, pin)
 
     dtype = jnp.bfloat16 if args.compute_dtype == "bfloat16" else jnp.float32
-    cfg = PGGANConfig(z_dim=args.z_dim, dim=args.dim, max_stage=args.max_stage)
+    cfg = PGGANConfig(z_dim=args.z_dim, dim=args.dim, max_stage=args.max_stage,
+                      conditional=args.conditional)
     base = ResnetGANConfig(dim_g=args.dim, dim_d=args.dim, z_dim=args.z_dim)
     tcfg = PGGANTrainConfig(lr=args.lr, trans_iters=args.trans_iters,
                             stab_iters=args.stab_iters)

@@ -18,7 +18,7 @@ import jax.numpy as jnp
 
 from rcgan_tpu.core.module import Ctx
 from rcgan_tpu.models.resnet_gan import ResnetGANConfig, nonlinearity, residual_block
-from rcgan_tpu.ops import conv2d_lib, linear_lib, mean_pool, pixel_norm, upsample_depth_to_space
+from rcgan_tpu.ops import conv2d_lib, embed_y, linear_lib, mean_pool, pixel_norm, upsample_depth_to_space
 
 
 @dataclasses.dataclass(frozen=True)
@@ -29,6 +29,13 @@ class PGGANConfig:
     base_size: int = 4
     max_stage: int = 3  # 4->8->16->32
     use_pixel_norm: bool = True
+    # Conditional critic: a projection head on the pooled features (same
+    # design as the main stack's projection discriminator,
+    # ``gan_resnet.py:414-421``).  The generator is label-conditioned via
+    # cond-BN either way; without this the critic is blind to labels and
+    # conditioning has NO training signal (gen-label-acc stays at chance —
+    # observed in the round-3 unconditional 64x64 run).
+    conditional: bool = True
 
 
 def _to_rgb(ctx, cfg, x, stage):
@@ -68,9 +75,17 @@ def generator(ctx: Ctx, cfg: PGGANConfig, base: ResnetGANConfig, z: jax.Array,
 
 
 def discriminator(ctx: Ctx, cfg: PGGANConfig, base: ResnetGANConfig, x: jax.Array,
-                  stage: int, trans: bool = False, alpha: float = 1.0):
+                  stage: int, trans: bool = False, alpha: float = 1.0,
+                  labels=None):
     """Progressive critic mirroring the generator's schedule; returns pooled
-    features and the scalar logit."""
+    features and the scalar logit.
+
+    When ``labels`` is given (conditional mode) the logit gains a
+    projection term ``Σ feat · SN-linear(embed(y))`` — the same
+    projection-discriminator head the main stack uses
+    (``gan_resnet.py:414-421,588``).  The head is stage-independent (the
+    pooled feature width is constant across the schedule), so fade-in
+    needs no special casing."""
     g = cfg.dim
     out = _from_rgb(ctx, cfg, x, stage, g)
     for s in range(stage, 0, -1):
@@ -82,4 +97,11 @@ def discriminator(ctx: Ctx, cfg: PGGANConfig, base: ResnetGANConfig, x: jax.Arra
     out = nonlinearity(out)
     feat = jnp.mean(out, axis=(1, 2))
     logit = linear_lib(ctx, feat, g, 1, "PG.D.Output", spectral_normed=True)
-    return feat, logit.reshape(-1)
+    logit = logit.reshape(-1)
+    if labels is not None:
+        emb = embed_y(ctx, labels, base.vocab_size, base.embedding_dim,
+                      name="PG.D.Embedding.Label")
+        emb = linear_lib(ctx, emb, base.embedding_dim, g, "PG.D.Embedding_y",
+                         spectral_normed=True, biases=True)
+        logit = logit + jnp.sum(feat * emb, axis=1)
+    return feat, logit

@@ -85,10 +85,12 @@ class PGGANTrainer:
         ctx = Ctx(rng=rng, init=True, compute_dtype=self.compute_dtype)
         z = jnp.zeros((batch, cfg.z_dim), jnp.float32)
         labels = jnp.zeros((batch,), jnp.int32)
+        d_labels = labels if cfg.conditional else None
         for stage in range(1, cfg.max_stage + 1):
             for trans in ((False,) if stage == 1 else (False, True)):
                 fake = generator(ctx, cfg, self.base, z, labels, stage, trans, 0.5)
-                discriminator(ctx, cfg, self.base, fake, stage, trans, 0.5)
+                discriminator(ctx, cfg, self.base, fake, stage, trans, 0.5,
+                              labels=d_labels)
         preds = {
             "gen": lambda n: n.startswith("PG.G."),
             "disc": lambda n: n.startswith("PG.D."),
@@ -100,6 +102,10 @@ class PGGANTrainer:
         cfg, base, tcfg = self.cfg, self.base, self.tcfg
         x = pool_to_stage(images["x"], cfg, stage).astype(self.compute_dtype)
         labels = images["labels"]
+        # conditional critic: the projection head sees the batch's labels on
+        # BOTH the real pass and the fake pass (fakes are generated from the
+        # same labels), exactly the main stack's pairing (gan_resnet.py:588)
+        d_labels = labels if cfg.conditional else None
         b = x.shape[0]
         z = example_normal(jax.random.fold_in(rng, 0), b, cfg.z_dim)
 
@@ -111,8 +117,10 @@ class PGGANTrainer:
             ctx = Ctx(params=merge(groups["gen"], d_params), state=state, rng=None,
                       init=False, train=True, update_sn=True, compute_dtype=self.compute_dtype)
             fake = generator(ctx, cfg, base, z, labels, stage, trans, alpha)
-            _, d_fake = discriminator(ctx, cfg, base, fake, stage, trans, alpha)
-            _, d_real = discriminator(ctx, cfg, base, x, stage, trans, alpha)
+            _, d_fake = discriminator(ctx, cfg, base, fake, stage, trans, alpha,
+                                      labels=d_labels)
+            _, d_real = discriminator(ctx, cfg, base, x, stage, trans, alpha,
+                                      labels=d_labels)
             _, d_cost = get_loss(d_real, d_fake, tcfg.loss_type)
             return d_cost, (d_cost, ctx.updated_state())
 
@@ -128,7 +136,8 @@ class PGGANTrainer:
             ctx = Ctx(params=merge(g_params, groups["disc"]), state=state, rng=None,
                       init=False, train=True, update_sn=False, compute_dtype=self.compute_dtype)
             fake = generator(ctx, cfg, base, z, labels, stage, trans, alpha)
-            _, d_fake = discriminator(ctx, cfg, base, fake, stage, trans, alpha)
+            _, d_fake = discriminator(ctx, cfg, base, fake, stage, trans, alpha,
+                                      labels=d_labels)
             g_cost, _ = get_loss(jnp.zeros_like(d_fake), d_fake, tcfg.loss_type)
             return g_cost, (g_cost, ctx.updated_state())
 

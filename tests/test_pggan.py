@@ -53,6 +53,35 @@ def test_fade_in_alpha_zero_equals_upsampled_low_res():
     )
 
 
+def test_conditional_projection_head():
+    """The conditional critic's projection head must exist and make the
+    logit label-dependent; ``conditional=False`` must reproduce the
+    label-blind critic (no head params, labels ignored).  Without the head
+    the label-conditioned generator has no conditioning signal at all —
+    the round-3 unconditional 64x64 run sat at chance accuracy."""
+    import dataclasses
+
+    from rcgan_tpu.models.pggan import discriminator
+
+    cfg, base, tcfg = tiny()
+    tr = PGGANTrainer(cfg, base, tcfg)
+    ts = tr.init(jax.random.key(0), 4)
+    head = [k for k in ts.groups["disc"] if k.startswith("PG.D.Embedding")]
+    assert head, sorted(ts.groups["disc"])[:8]
+
+    params = merge(*ts.groups.values())
+    x = jax.random.normal(jax.random.key(3), (4, 16, 16, 3))
+    ctx = Ctx(params=params, state=ts.state, init=False, train=True, update_sn=False)
+    _, l0 = discriminator(ctx, cfg, base, x, stage=2, labels=jnp.zeros((4,), jnp.int32))
+    ctx = Ctx(params=params, state=ts.state, init=False, train=True, update_sn=False)
+    _, l1 = discriminator(ctx, cfg, base, x, stage=2, labels=jnp.ones((4,), jnp.int32))
+    assert not np.allclose(np.asarray(l0), np.asarray(l1))
+
+    cfg_u = dataclasses.replace(cfg, conditional=False)
+    ts_u = PGGANTrainer(cfg_u, base, tcfg).init(jax.random.key(0), 4)
+    assert not any(k.startswith("PG.D.Embedding") for k in ts_u.groups["disc"])
+
+
 def test_progressive_training_runs_and_learns_all_stages():
     cfg, base, tcfg = tiny()
     tr = PGGANTrainer(cfg, base, tcfg)
