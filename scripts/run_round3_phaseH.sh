@@ -23,7 +23,7 @@ echo "=== bench exit=$? ==="
 cat $R/bench_r3b.json
 
 echo "=== profile start $(date +%H:%M:%S) ==="
-timeout 5400 python scripts/profile_cycle.py --compile_unrolled \
+timeout 7200 python scripts/profile_cycle.py --compile_unrolled \
   --out $R/profile_cycle_r3b.json > $R/profile_cycle_r3b.txt 2>&1
 echo "=== profile exit=$? ==="
 tail -14 $R/profile_cycle_r3b.txt
