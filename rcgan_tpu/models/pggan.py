@@ -44,7 +44,11 @@ def _to_rgb(ctx, cfg, x, stage):
 
 
 def _from_rgb(ctx, cfg, x, stage, dim):
-    return conv2d_lib(ctx, x, cfg.img_dim, dim, 1, 1, f"PG.D.FromRGB.{stage}")
+    # spectral-normed like every other critic layer: an unconstrained
+    # input conv breaks the Lipschitz chain and lets the critic saturate
+    # the hinge (d_cost -> 0 observed from stage 3 on without it)
+    return conv2d_lib(ctx, x, cfg.img_dim, dim, 1, 1, f"PG.D.FromRGB.{stage}",
+                      spectral_normed=True)
 
 
 def generator(ctx: Ctx, cfg: PGGANConfig, base: ResnetGANConfig, z: jax.Array,
@@ -63,6 +67,14 @@ def generator(ctx: Ctx, cfg: PGGANConfig, base: ResnetGANConfig, z: jax.Array,
         prev = out
         out = residual_block(ctx, base, out, g, g, 3, f"PG.G.Block.{s}",
                              resample="up", labels=labels)
+        # pixel-norm after EVERY block (the PGGAN recipe): the residual
+        # sum's variance otherwise grows with depth, so by stage 3 the
+        # fresh ToRGB preactivation sits deep in tanh saturation, its
+        # gradient vanishes, and the new stage never trains (observed:
+        # |tanh| = 1.000 at init, stage-3 block params frozen, generator
+        # collapses to a solid color)
+        if cfg.use_pixel_norm:
+            out = pixel_norm(out)
     out = nonlinearity(out)
     rgb = jnp.tanh(_to_rgb(ctx, cfg, out, stage))
     if trans and prev is not None:

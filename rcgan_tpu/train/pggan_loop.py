@@ -178,9 +178,15 @@ class PGGANTrainer:
         rng: jax.Array,
         log_fn=None,
         iters_scale: float = 1.0,
+        progress_every: int = 0,
+        progress_fn=None,
     ) -> TrainState:
         """Run the full progressive schedule.  ``data_fn(it) -> {'x': [B,
-        H, W, C] full-res float in [-1, 1], 'labels': [B] int32}``."""
+        H, W, C] full-res float in [-1, 1], 'labels': [B] int32}``.
+
+        ``progress_every`` > 0 calls ``progress_fn(stage, trans, it, alpha,
+        metrics, ts)`` every that-many iterations WITHIN a phase (a device
+        sync; for diagnostics, off by default)."""
         it = 0
         for stage, trans, n in self.phases():
             n = max(1, int(n * iters_scale))
@@ -189,6 +195,9 @@ class PGGANTrainer:
                 rng, sub = jax.random.split(rng)
                 ts, m = self.step(ts, data_fn(it), sub, alpha, stage, trans)
                 it += 1
+                if progress_every and progress_fn is not None and i % progress_every == 0:
+                    progress_fn(stage, trans, it, alpha,
+                                {k: float(v) for k, v in m.items()}, ts)
             if log_fn is not None:
                 # the live ts is passed because the per-phase jitted step
                 # DONATES its input state — callers must not sample from a
