@@ -12,3 +12,16 @@ score, label recovery, MS-SSIM) — designed SPMD-first for TPU meshes.
 """
 
 __version__ = "0.1.0"
+
+import os as _os
+
+if "RCGAN_PLATFORM" in _os.environ:
+    # Opt-in platform pin that works even where a site-wide sitecustomize
+    # overrides JAX_PLATFORMS at interpreter start (this box pins
+    # ``jax_platforms="axon,cpu"``, and axon *discovery* blocks when the
+    # device tunnel is down — so subprocesses spawned by tests must be able
+    # to force CPU through the package itself, before any backend client
+    # is created).
+    import jax as _jax
+
+    _jax.config.update("jax_platforms", _os.environ["RCGAN_PLATFORM"])

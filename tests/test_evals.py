@@ -156,8 +156,10 @@ def test_msssim_cli(tmp_path):
         [sys.executable, "-m", "rcgan_tpu.evals.msssim",
          "--original_image", a, "--compared_image", b],
         capture_output=True, text=True, cwd="/root/repo",
-        env={**__import__("os").environ, "JAX_PLATFORMS": "cpu"},
+        env={**__import__("os").environ, "RCGAN_PLATFORM": "cpu"},
     )
-    # sitecustomize pins the platform; stdout still carries the score
+    # RCGAN_PLATFORM pins the subprocess to CPU through the package itself
+    # (sitecustomize overrides JAX_PLATFORMS, and the axon backend hangs
+    # when the device tunnel is down); stdout carries the score
     val = float(out.stdout.strip().splitlines()[-1])
     assert val > 0.999, (out.stdout, out.stderr)
