@@ -53,6 +53,28 @@ def test_fade_in_alpha_zero_equals_upsampled_low_res():
     )
 
 
+def test_generator_init_output_unsaturated_at_every_stage():
+    """Regression for the stage-3 collapse: without pixel-norm after every
+    block the residual sum's variance grows with depth and the fresh
+    stage's tanh output saturates at init (|tanh| -> 1.000 measured at
+    full size), killing the ToRGB gradient so the new stage never trains.
+    With the fix, init-time output magnitude must stay moderate and
+    roughly depth-independent."""
+    cfg = PGGANConfig(z_dim=128, dim=128, max_stage=3)
+    base = ResnetGANConfig(dim_g=128, dim_d=128, z_dim=128)
+    tr = PGGANTrainer(cfg, base, PGGANTrainConfig())
+    ts = tr.init(jax.random.key(0), 8)
+    z = jax.random.normal(jax.random.key(1), (8, cfg.z_dim))
+    y = jnp.arange(8, dtype=jnp.int32) % 10
+    means = []
+    for stage in (1, 2, 3):
+        out = np.abs(np.asarray(tr.sample(ts, z, y, stage=stage)))
+        means.append(out.mean())
+        assert out.mean() < 0.9, (stage, out.mean())
+    # depth-independence: deepest stage within 1.5x of the shallowest
+    assert max(means) < 1.5 * min(means) + 0.05, means
+
+
 def test_conditional_projection_head():
     """The conditional critic's projection head must exist and make the
     logit label-dependent; ``conditional=False`` must reproduce the
