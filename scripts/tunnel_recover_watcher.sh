@@ -1,14 +1,14 @@
 #!/bin/bash
-# Poll the axon device tunnel; when it answers again, run phase H (50k
-# flagship + perf refresh) then phase I (PGGAN fix validation + 64x64).
+# Poll the axon device tunnel; when it answers again, run phase I (PGGAN
+# fix validation + 64x64, quick) then phase H (bench/profile + 50k flagship).
 # Probes are cheap and time-bounded; the loop gives up after ~8 hours.
 cd "$(dirname "$0")/.."
 for i in $(seq 1 60); do
   if timeout 90 python -c "import jax; assert jax.devices()" 2>/dev/null; then
     echo "tunnel back at $(date +%H:%M:%S) (probe $i)"
-    bash scripts/run_round3_phaseH.sh > runs/round3_phaseH_driver.log 2>&1
     bash scripts/run_round3_phaseI.sh > runs/round3_phaseI_driver.log 2>&1
-    echo "phases H+I complete at $(date +%H:%M:%S)"
+    bash scripts/run_round3_phaseH.sh > runs/round3_phaseH_driver.log 2>&1
+    echo "phases I+H complete at $(date +%H:%M:%S)"
     exit 0
   fi
   sleep 480
