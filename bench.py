@@ -216,20 +216,12 @@ def bench_mnist():
 
 
 def _device_reachable(timeout_s=180):
-    """Probe backend init in a SUBPROCESS: the axon remote backend BLOCKS
-    (rather than failing) when the device tunnel is down, and a hung probe
-    inside this process could not be interrupted."""
-    import subprocess
-    import sys
+    """Memoized, time-bounded subprocess probe (rcgan_tpu/utils/device_probe
+    — the axon remote backend blocks rather than failing when its device
+    tunnel is down)."""
+    from rcgan_tpu.utils.device_probe import default_backend_reachable
 
-    try:
-        r = subprocess.run(
-            [sys.executable, "-c", "import jax; assert jax.devices()"],
-            timeout=timeout_s, capture_output=True,
-        )
-        return r.returncode == 0
-    except subprocess.TimeoutExpired:
-        return False
+    return default_backend_reachable(timeout_s)
 
 
 def main():

@@ -117,7 +117,7 @@ class CifarTrainer:
         iteration > 0 (asserted in tests/test_train.py); it exists because
         XLA's ``cost_analysis()`` counts a while-loop body ONCE regardless
         of trip count (and a conditional as the max branch), so the rolled
-        program under-reports per-cycle flops ~3x.  Profiling/bench code
+        program under-reports per-cycle flops ~2x.  Profiling/bench code
         counts flops on this variant; the hot path stays rolled (compiles
         ~5x faster, same machine code per step).
         """

@@ -48,8 +48,8 @@ STYLE = {
 }
 
 
-def final_acc(archive):
-    """Epoch-99 gen-label accuracy from an archive's trimmed run.log."""
+def read_accs(archive):
+    """{epoch: gen-label accuracy} from an archive's trimmed run.log."""
     path = os.path.join(RUNS, archive, "run.log")
     accs = {}
     for line in open(path, errors="replace"):
@@ -58,7 +58,16 @@ def final_acc(archive):
             accs[int(m.group(1))] = float(m.group(2))
     if not accs:
         raise ValueError(f"no epoch evals in {path}")
-    return accs[max(accs)]
+    return accs
+
+
+def final_acc(archive):
+    """Epoch-99 accuracy; refuses truncated archives (the figure's axis
+    label claims epoch 99 — a 47-epoch provisional cell once existed)."""
+    accs = read_accs(archive)
+    if max(accs) != 99:
+        raise ValueError(f"{archive} truncated at epoch {max(accs)}, not 99")
+    return accs[99]
 
 
 def main(out=None):
@@ -88,14 +97,20 @@ def main(out=None):
         ax.annotate(method, (xs[-1], ys[-1]), textcoords="offset points",
                     xytext=(8, label_dy[method]), fontsize=9, color="#52514e")
 
-    # the unbiased alpha=0.125 cell PEAKS early then collapses to exact
-    # chance (d_loss -> -9e3): mark the peak so the curve isn't read as
-    # "never conditioned"
-    ax.plot([0.125], [0.80], marker="s", markersize=6, mfc="none",
-            mec=STYLE["unbiased"]["color"], mew=1.5, linestyle="none")
-    ax.annotate("unbiased peak (ep 39),\nthen collapse by ep 49", (0.125, 0.80),
-                textcoords="offset points", xytext=(10, -4), fontsize=8,
-                color="#52514e")
+    # the unbiased alpha=0.125 cell PEAKS then collapses to exact chance
+    # (d_loss -> -9e3): mark the (archive-derived) peak so the curve isn't
+    # read as "never conditioned"
+    try:
+        u125 = read_accs(CELLS[("unbiased", 0.125)])
+        peak_ep, peak = max(u125.items(), key=lambda kv: kv[1])
+        if peak > u125[max(u125)] + 0.2:
+            ax.plot([0.125], [peak], marker="s", markersize=6, mfc="none",
+                    mec=STYLE["unbiased"]["color"], mew=1.5, linestyle="none")
+            ax.annotate(f"unbiased peak (ep {peak_ep}),\nthen variance collapse",
+                        (0.125, peak), textcoords="offset points",
+                        xytext=(10, -4), fontsize=8, color="#52514e")
+    except (OSError, ValueError):
+        pass
 
     ax.axhline(0.10, color="#9a9992", linewidth=1, linestyle=(0, (4, 3)))
     ax.annotate("chance", (0.44, 0.10), textcoords="offset points",

@@ -171,20 +171,23 @@ def main():
     if args.compile_unrolled:
         fl_u, by_u = cost(unrolled, ts, jax.random.key(1))
         rate = cyc["rate_per_sec"]
-        rows.append({
-            "piece": "full_cycle(unrolled compiled)", "per_cycle": 1.0,
-            "rate_per_sec": rate, "ms_per_call": cyc["ms_per_call"],
-            "gflops_per_call": fl_u / 1e9, "tflops_per_sec": rate * fl_u / 1e12,
-            "gbytes_per_call": by_u / 1e9, "gbps": rate * by_u / 1e9,
-            "pct_bf16_peak": 100 * rate * fl_u / 1e12 / V5E_BF16_PEAK_TFLOPS,
-            "pct_hbm_peak": 100 * rate * by_u / 1e9 / V5E_HBM_GBPS,
-            "note": "post-optimization count of the straight-line cycle: the "
-                    "true per-cycle flops AND bytes",
-        })
-        print(f"{'full_cycle(unrolled compiled)':28s} {cyc['ms_per_call']:8.2f} ms  "
-              f"{rate*fl_u/1e12:7.2f} TF/s "
-              f"({100*rate*fl_u/1e12/V5E_BF16_PEAK_TFLOPS:5.1f}% MXU)  "
-              f"{rate*by_u/1e9:7.1f} GB/s ({100*rate*by_u/1e9/V5E_HBM_GBPS:5.1f}% HBM)")
+        if fl_u <= 0:
+            print("  (compiled unrolled count unavailable — row omitted)")
+        if fl_u > 0:
+            rows.append({
+                "piece": "full_cycle(unrolled compiled)", "per_cycle": 1.0,
+                "rate_per_sec": rate, "ms_per_call": cyc["ms_per_call"],
+                "gflops_per_call": fl_u / 1e9, "tflops_per_sec": rate * fl_u / 1e12,
+                "gbytes_per_call": by_u / 1e9, "gbps": rate * by_u / 1e9,
+                "pct_bf16_peak": 100 * rate * fl_u / 1e12 / V5E_BF16_PEAK_TFLOPS,
+                "pct_hbm_peak": 100 * rate * by_u / 1e9 / V5E_HBM_GBPS,
+                "note": "post-optimization count of the straight-line cycle: "
+                        "the true per-cycle flops AND bytes",
+            })
+            print(f"{'full_cycle(unrolled compiled)':28s} {cyc['ms_per_call']:8.2f} ms  "
+                  f"{rate*fl_u/1e12:7.2f} TF/s "
+                  f"({100*rate*fl_u/1e12/V5E_BF16_PEAK_TFLOPS:5.1f}% MXU)  "
+                  f"{rate*by_u/1e9:7.1f} GB/s ({100*rate*by_u/1e9/V5E_HBM_GBPS:5.1f}% HBM)")
 
     # ---- one D micro-step: loss + grad wrt the DISC group only, exactly the
     # scan body's differentiation structure (an earlier revision of this
