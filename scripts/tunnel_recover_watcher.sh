@@ -5,7 +5,7 @@
 # ~8 hours.
 cd "$(dirname "$0")/.."
 mkdir -p runs
-for i in $(seq 1 60); do
+for i in $(seq 1 ${PROBES:-60}); do
   if timeout 90 python -c "import jax; assert jax.devices()" 2>/dev/null; then
     echo "tunnel back at $(date +%H:%M:%S) (probe $i)"
     rc=0
