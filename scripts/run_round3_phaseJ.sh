@@ -6,6 +6,12 @@
 # tests/test_pggan.py::test_stage5_128px_schedule); this produces the
 # on-chip evidence row.  Batch 32 + shorter phases keep the top stage
 # within the VMEM/time envelope of the tunneled v5e.
+#
+# The exact invocation path (app CLI -> 128px synthetic data -> 5-stage
+# schedule -> per-stage pinned evals -> stage_accuracy.json) was
+# dry-run end-to-end on CPU at dim 8 / 2+2 iters during the 2026-08-18
+# tunnel outage: exit 0, all 9 phase rows + final accuracy table
+# emitted.  Only the training budget differs here.
 cd "$(dirname "$0")/.."
 R=${RUNS:-./runs/round3}
 mkdir -p $R
