@@ -62,6 +62,25 @@ def _unpickle(path: str):
 
 def synthetic_cifar(n: int, seed: int = 0, chunk: int = 4096, image_seed: int | None = None,
                     size: int = 32):
+    """Memoized front of :func:`_render_synthetic_cifar` (same signature /
+    same bit-exact output): rendering is pure host-side numpy and costs
+    ~33 s per 50k 32px images (~3.4 min per 20k at 128px) at the start of
+    every experiment in the chip window, so repeat invocations (sweep
+    cells, crash-resume, debug reruns) are served from the on-disk cache
+    (``data/_cache.py``; ``RCGAN_SYNTH_CACHE=0`` disables)."""
+    iseed = seed if image_seed is None else image_seed
+    from rcgan_tpu.data._cache import memoize_render
+
+    return memoize_render(
+        "cifar",
+        dict(n=n, seed=seed, chunk=chunk, iseed=iseed, size=size),
+        lambda: _render_synthetic_cifar(n, seed, chunk, image_seed, size),
+        code_of=_render_synthetic_cifar,
+    )
+
+
+def _render_synthetic_cifar(n: int, seed: int = 0, chunk: int = 4096,
+                            image_seed: int | None = None, size: int = 32):
     """Class-conditional image FAMILY with continuous intra-class variation
     (CHW-flat uint8, CIFAR pickle layout).
 

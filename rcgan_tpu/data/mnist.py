@@ -46,6 +46,20 @@ def _read_idx_labels(path: str, n: int) -> np.ndarray:
 
 
 def synthetic_digits(n: int = 70000, seed: int = 0):
+    """Memoized front of :func:`_render_synthetic_digits` (bit-exact):
+    the 70k render costs ~17 s of host time at every MNIST run start, so
+    repeats are served from the on-disk cache (``data/_cache.py``;
+    ``RCGAN_SYNTH_CACHE=0`` disables)."""
+    from rcgan_tpu.data._cache import memoize_render
+
+    return memoize_render(
+        "mnist", dict(n=n, seed=seed),
+        lambda: _render_synthetic_digits(n, seed),
+        code_of=_render_synthetic_digits,
+    )
+
+
+def _render_synthetic_digits(n: int = 70000, seed: int = 0):
     """Class-identifiable fake digits: smooth class-deterministic Gaussian
     blobs with small per-example jitter.  Smoothness matters: deconvolution
     generators reproduce low-frequency shapes well, so GAN quality metrics

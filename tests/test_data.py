@@ -121,3 +121,54 @@ def test_synthetic_cifar_parameterized_size():
     # default stays CIFAR-native
     x32, _ = synthetic_cifar(4, seed=1)
     assert x32.shape == (4, 3072)
+
+
+def test_synth_cache_roundtrip_bit_exact(tmp_path, monkeypatch):
+    """The on-disk renderer cache (data/_cache.py) must be a pure
+    memoization: cached loads are bit-identical to fresh renders, keys
+    separate distinct draws, and a corrupt entry falls back to
+    re-rendering."""
+    import os
+
+    from rcgan_tpu.data._cache import cache_dir
+
+    # disabled spellings
+    for off in ("0", "off", ""):
+        monkeypatch.setenv("RCGAN_SYNTH_CACHE", off)
+        assert cache_dir() is None
+    monkeypatch.delenv("RCGAN_SYNTH_CACHE")
+    assert cache_dir() is not None  # default location
+
+    monkeypatch.setenv("RCGAN_SYNTH_CACHE", str(tmp_path))
+    x1, y1 = cifar_data.synthetic_cifar(12, seed=3, size=16)
+    files = sorted(os.listdir(tmp_path))
+    assert len(files) == 1 and files[0].endswith(".npz")
+    x2, y2 = cifar_data.synthetic_cifar(12, seed=3, size=16)  # cache hit
+    np.testing.assert_array_equal(x1, x2)
+    np.testing.assert_array_equal(y1, y2)
+    assert x2.dtype == np.uint8 and y2.dtype == np.int64
+
+    # bit-exact vs the uncached render
+    monkeypatch.setenv("RCGAN_SYNTH_CACHE", "0")
+    x0, y0 = cifar_data.synthetic_cifar(12, seed=3, size=16)
+    np.testing.assert_array_equal(x0, x1)
+    np.testing.assert_array_equal(y0, y1)
+
+    # distinct image_seed -> distinct entry and distinct images
+    monkeypatch.setenv("RCGAN_SYNTH_CACHE", str(tmp_path))
+    x3, _ = cifar_data.synthetic_cifar(12, seed=3, image_seed=9, size=16)
+    assert len(os.listdir(tmp_path)) == 2
+    assert not np.array_equal(x3, x1)
+
+    # corrupt entry: re-render, not crash
+    victim = os.path.join(tmp_path, sorted(os.listdir(tmp_path))[0])
+    with open(victim, "wb") as f:
+        f.write(b"not an npz")
+    xr, yr = cifar_data.synthetic_cifar(12, seed=3, size=16)
+    np.testing.assert_array_equal(xr, x1)
+
+    # mnist renderer shares the machinery
+    d1 = mnist_data.synthetic_digits(30, seed=2)
+    d2 = mnist_data.synthetic_digits(30, seed=2)
+    np.testing.assert_array_equal(d1[0], d2[0])
+    assert any(f.startswith("mnist_") for f in os.listdir(tmp_path))
