@@ -45,6 +45,13 @@ def parse_args(argv=None):
     p.add_argument("--eval_samples", type=int, default=2000)
     p.add_argument("--compute_dtype", default="bfloat16")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--classifier_dir", default=None,
+                   help="where the pinned eval classifier is cached; default "
+                        "is the PARENT of --run_dir so repeat runs on the "
+                        "same data (sweeps, debug reruns) share one "
+                        "classifier instead of retraining it on-chip — the "
+                        "filename is keyed by size/seed/train_size, so "
+                        "different data settings never collide")
     p.add_argument("--conditional", action=argparse.BooleanOptionalAction, default=True,
                    help="projection-conditional critic (without it the "
                         "label-conditioned generator has no conditioning "
@@ -83,10 +90,13 @@ def main(argv=None):
     xd = xd_u8.astype(np.float32).reshape(-1, 3, args.size, args.size).transpose(0, 2, 3, 1)
     xd = 2.0 * (xd / 255.0 - 0.5)
 
-    # ---- pinned eval classifier at the TARGET resolution
+    # ---- pinned eval classifier at the TARGET resolution (shared across
+    # runs on identical data; train_pinned re-verifies the pin on load)
+    cls_dir = args.classifier_dir or os.path.dirname(os.path.abspath(args.run_dir))
+    cls_name = f"eval_classifier_{args.size}_s{args.seed}_n{args.train_size}.pkl"
     cls = cifar_classifier(img_size=args.size)
     pin = train_pinned(
-        cls, os.path.join(args.run_dir, f"eval_classifier_{args.size}.pkl"),
+        cls, os.path.join(cls_dir, cls_name),
         x, labels, xd, yd.astype(np.int32), epochs=3, rng=jax.random.key(123),
     )
     log.info("pinned eval classifier (%dx%d) clean accuracy: %.4f", args.size,

@@ -214,3 +214,6 @@ def test_pggan_app_end_to_end(tmp_path):
     assert os.path.exists(os.path.join(run, "samples_stage2_stab.png"))
     assert os.path.exists(os.path.join(run, "config.json"))
     assert int(ts.step) == 6
+    # the pinned classifier is cached in the run dir's PARENT under a
+    # data-keyed name, so repeat runs on the same data share it
+    assert os.path.exists(os.path.join(str(tmp_path), "eval_classifier_16_s0_n200.pkl"))
