@@ -52,6 +52,10 @@ def parse_args(argv=None):
                         "classifier instead of retraining it on-chip — the "
                         "filename is keyed by size/seed/train_size, so "
                         "different data settings never collide")
+    p.add_argument("--resume", action=argparse.BooleanOptionalAction, default=True,
+                   help="auto-resume from the run dir's latest phase "
+                        "checkpoint (the reference's latest-checkpoint "
+                        "behavior, gan_resnet.py:905-914)")
     p.add_argument("--conditional", action=argparse.BooleanOptionalAction, default=True,
                    help="projection-conditional critic (without it the "
                         "label-conditioned generator has no conditioning "
@@ -111,18 +115,40 @@ def main(argv=None):
     tr = PGGANTrainer(cfg, base, tcfg, compute_dtype=dtype)
     ts = tr.init(jax.random.key(args.seed), args.batch_size)
 
+    from rcgan_tpu.train.checkpoint import Checkpointer
+
+    ckpt = Checkpointer(os.path.join(args.run_dir, "ckpt"))
+    restored = ckpt.restore(ts) if args.resume else None
+    if restored is not None:
+        ts = restored
+        log.info("resuming from phase checkpoint at step %d (the schedule "
+                 "is deterministic; completed phases are skipped)", int(ts.step))
+
     metrics = MetricLogger()
     rng = jax.random.key(args.seed + 1)
-    rs = np.random.RandomState(args.seed + 2)
     x_dev = jnp.asarray(x)
     labels_dev = jnp.asarray(labels)
 
     def data_fn(it):
-        idx = rs.randint(len(x), size=args.batch_size)
+        # keyed by the iteration index (not a shared stream) so a resumed
+        # run sees bit-identical batches for its remaining iterations
+        idx = np.random.RandomState(args.seed + 2 + it).randint(
+            len(x), size=args.batch_size)
         return {"x": jnp.take(x_dev, jnp.asarray(idx), axis=0),
                 "labels": jnp.take(labels_dev, jnp.asarray(idx), axis=0)}
 
+    acc_path = os.path.join(args.run_dir, "stage_accuracy.json")
     eval_rows = []
+    if restored is not None and os.path.exists(acc_path):
+        # adopt the pre-crash process's rows for the phases this process
+        # skips (rows past the restored step can't exist: the phase
+        # checkpoint is saved after the eval row is flushed)
+        with open(acc_path) as f:
+            eval_rows = [r for r in json.load(f) if r["iter"] <= int(ts.step)]
+
+    def flush_rows():
+        with open(acc_path, "w") as f:
+            json.dump(eval_rows, f, indent=2)
 
     def eval_stage(stage, trans, it, ts):
         """Per-stage conditional eval: sample at the stage resolution,
@@ -142,6 +168,7 @@ def main(argv=None):
         row = {"stage": stage, "res": 4 * 2 ** stage, "trans": trans, "iter": it,
                "gen_label_acc": acc, "classifier_pin": pin}
         eval_rows.append(row)
+        flush_rows()  # per-phase, so a crash never loses completed rows
         metrics.plot_at(f"gen_label_acc_stage{stage}", acc, it)
         log.info("stage %d (%dx%d) trans=%s iter=%d gen_label_acc=%.4f",
                  stage, row["res"], row["res"], trans, it, acc)
@@ -164,10 +191,9 @@ def main(argv=None):
         eval_stage(stage, trans, it, live_ts)
         metrics.dir_flush(args.run_dir)
 
-    ts = tr.train_progressive(ts, data_fn, rng, log_fn=log_fn)
-
-    with open(os.path.join(args.run_dir, "stage_accuracy.json"), "w") as f:
-        json.dump(eval_rows, f, indent=2)
+    ts = tr.train_progressive(ts, data_fn, rng, log_fn=log_fn, ckpt=ckpt)
+    ckpt.close()
+    flush_rows()
     log.info("final per-stage accuracy table: %s",
              json.dumps(eval_rows[-args.max_stage:]))
     return ts, eval_rows

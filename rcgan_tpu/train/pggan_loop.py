@@ -180,29 +180,53 @@ class PGGANTrainer:
         iters_scale: float = 1.0,
         progress_every: int = 0,
         progress_fn=None,
+        ckpt=None,
     ) -> TrainState:
         """Run the full progressive schedule.  ``data_fn(it) -> {'x': [B,
         H, W, C] full-res float in [-1, 1], 'labels': [B] int32}``.
 
         ``progress_every`` > 0 calls ``progress_fn(stage, trans, it, alpha,
         metrics, ts)`` every that-many iterations WITHIN a phase (a device
-        sync; for diagnostics, off by default)."""
+        sync; for diagnostics, off by default).
+
+        ``ckpt``: optional :class:`train.checkpoint.Checkpointer`.  The
+        state is saved at every phase boundary (blocking — boundaries are
+        rare), and a RESTORED ``ts`` resumes mid-schedule: the phase plan
+        is deterministic, so ``int(ts.step)`` locates the exact next
+        iteration (the reference's latest-checkpoint auto-resume behavior,
+        ``gan_resnet.py:905-914``, extended to the progressive schedule).
+        Per-iteration RNG is derived by ``fold_in(rng, global_it)`` — index
+        keyed, not split-chained — so a resumed run's remaining iterations
+        see bit-identical keys and a crash-resume trajectory matches the
+        uninterrupted one whenever ``data_fn`` is a pure function of the
+        iteration index."""
+        start = int(ts.step)
         it = 0
         for stage, trans, n in self.phases():
             n = max(1, int(n * iters_scale))
+            if it + n <= start:  # phase fully covered by the restored state
+                it += n
+                continue
+            stepped = False
             for i in range(n):
+                if it < start:  # partial phase: fast-forward to the next iter
+                    it += 1
+                    continue
                 alpha = (i + 1) / n if trans else 1.0
-                rng, sub = jax.random.split(rng)
+                sub = jax.random.fold_in(rng, it)
                 ts, m = self.step(ts, data_fn(it), sub, alpha, stage, trans)
                 it += 1
+                stepped = True
                 if progress_every and progress_fn is not None and i % progress_every == 0:
                     progress_fn(stage, trans, it, alpha,
                                 {k: float(v) for k, v in m.items()}, ts)
-            if log_fn is not None:
+            if log_fn is not None and stepped:
                 # the live ts is passed because the per-phase jitted step
                 # DONATES its input state — callers must not sample from a
                 # stale reference
                 log_fn(stage, trans, it, {k: float(v) for k, v in m.items()}, ts)
+            if ckpt is not None and stepped:
+                ckpt.save(it, ts, wait=True)
         return ts
 
     # ------------------------------------------------------------ sample

@@ -192,6 +192,58 @@ def test_progressive_training_runs_and_learns_all_stages():
     assert np.all(np.abs(np.asarray(imgs)) <= 1.0)
 
 
+def test_progressive_checkpoint_resume(tmp_path):
+    """Crash-resume EQUIVALENCE: a run killed mid-schedule and resumed from
+    its phase-boundary checkpoint must land on the same final state as an
+    uninterrupted run — the phase plan is derived from ``ts.step``, per-iter
+    RNG is ``fold_in(rng, it)``, and ``data_fn`` is a pure function of the
+    iteration index (mid-round tunnel outages are this framework's observed
+    failure mode; a 10h progressive run must not restart from scratch)."""
+    from rcgan_tpu.train.checkpoint import Checkpointer
+
+    cfg, base, tcfg = tiny()  # phases: 3 + 3 + 3 = 9 iters
+    full = cfg.base_size * 2**cfg.max_stage
+
+    def data_fn(it):
+        rs = np.random.RandomState(100 + it)
+        return {"x": jnp.asarray(rs.rand(4, full, full, 3).astype(np.float32) * 2 - 1),
+                "labels": jnp.asarray(rs.randint(0, 10, 4))}
+
+    tr = PGGANTrainer(cfg, base, tcfg)
+    ts_a = tr.train_progressive(tr.init(jax.random.key(0), 4), data_fn,
+                                jax.random.key(2))
+
+    # crash mid-phase-3 (after 2 phase-boundary saves), then resume fresh
+    tr2 = PGGANTrainer(cfg, base, tcfg)
+    ck = Checkpointer(str(tmp_path / "ck"))
+
+    class Boom(RuntimeError):
+        pass
+
+    def crashing(it):
+        if it >= 6:
+            raise Boom()
+        return data_fn(it)
+
+    import pytest
+
+    with pytest.raises(Boom):
+        tr2.train_progressive(tr2.init(jax.random.key(0), 4), crashing,
+                              jax.random.key(2), ckpt=ck)
+    assert ck.latest_step() == 6
+
+    tr3 = PGGANTrainer(cfg, base, tcfg)  # fresh trainer = fresh process
+    ts_r = ck.restore(tr3.init(jax.random.key(0), 4))
+    assert int(ts_r.step) == 6
+    ts_r = tr3.train_progressive(ts_r, data_fn, jax.random.key(2), ckpt=ck)
+    assert int(ts_r.step) == 9 and ck.latest_step() == 9
+
+    flat_a, _ = jax.tree_util.tree_flatten(ts_a.groups)
+    flat_r, _ = jax.tree_util.tree_flatten(ts_r.groups)
+    for la, lb in zip(flat_a, flat_r):
+        np.testing.assert_array_equal(np.asarray(la), np.asarray(lb))
+
+
 def test_pggan_app_end_to_end(tmp_path):
     """The progressive CLI app: native-size synthetic data, pinned
     classifier at the target resolution, per-stage eval rows + sample
