@@ -24,7 +24,7 @@ Production hardening on top of the checkpoint-backed sampler:
 - **Multi-model registry + auth**: serve several checkpoints from one
   process (``--register name=model:ckpt_dir``), optional bearer-token auth.
 
-CLI:  python -m rcgan_tpu.serving --model {mnist,cifar} --checkpoint_dir D \
+CLI:  python -m rcgan_tpu.serving --model {mnist,cifar,pggan} --checkpoint_dir D \
         [--labels 0,1,2 --n 100 --out grid.png] [--export path.bin]
         [--serve --port 8321] [--register name=model:dir ...] \
         [--auth_token TOK] [--coalesce_wait_ms 4]
@@ -144,6 +144,18 @@ class Sampler:
             }
             ts = trainer.init(jax.random.key(0), dummy)
             z_dim = cfg.z_dim
+        elif model == "pggan":
+            # progressive checkpoints come from pggan_app's phase-boundary
+            # Checkpointer; the run's config.json names the schedule shape
+            from rcgan_tpu.models.pggan import PGGANConfig
+            from rcgan_tpu.models.resnet_gan import ResnetGANConfig
+            from rcgan_tpu.train.pggan_loop import PGGANTrainConfig, PGGANTrainer
+
+            cfg = PGGANConfig(**pick(PGGANConfig))
+            base = ResnetGANConfig(dim_g=cfg.dim, dim_d=cfg.dim, z_dim=cfg.z_dim)
+            trainer = PGGANTrainer(cfg, base, PGGANTrainConfig())
+            ts = trainer.init(jax.random.key(0), batch)
+            z_dim = cfg.z_dim
         else:
             raise ValueError(model)
 
@@ -167,6 +179,9 @@ class Sampler:
         if self.model == "mnist":
             y = jnp.eye(10, dtype=jnp.float32)[padded]
             return np.asarray(self.trainer.sample(self.ts, z, y))
+        if self.model == "pggan":
+            # already NHWC at the schedule's final resolution
+            return np.asarray(self.trainer.sample(self.ts, z, jnp.asarray(padded)))
         flat = np.asarray(self.trainer.sample(self.ts, z, jnp.asarray(padded)))
         return flat.reshape(-1, 32, 32, 3)
 
@@ -242,6 +257,9 @@ class Sampler:
             def fn(z, labels):
                 y = jnp.eye(10, dtype=jnp.float32)[labels]
                 return self.trainer.sample(ts, z, y)
+        elif self.model == "pggan":
+            def fn(z, labels):
+                return self.trainer.sample(ts, z, labels)
         else:
             def fn(z, labels):
                 flat = self.trainer.sample(ts, z, labels)
@@ -568,7 +586,7 @@ def main(argv=None):
     from rcgan_tpu.utils.images import save_images
 
     p = argparse.ArgumentParser(description="rcgan_tpu sampler")
-    p.add_argument("--model", choices=["mnist", "cifar"], required=True)
+    p.add_argument("--model", choices=["mnist", "cifar", "pggan"], required=True)
     p.add_argument("--checkpoint_dir", required=True)
     p.add_argument("--labels", default=None, help="comma-separated class ids")
     p.add_argument("--n", type=int, default=100)

@@ -389,3 +389,35 @@ def test_http_request_size_limit(tmp_path):
             assert e.code == 400
     finally:
         srv.shutdown()
+
+
+def test_serving_pggan_checkpoint(tmp_path):
+    """The progressive family is servable like the main stacks: restore a
+    phase-boundary checkpoint (train/pggan_loop.py), sample at the
+    schedule's final resolution through the bucketed path, and the AOT
+    export reproduces the live sampler."""
+    from rcgan_tpu.models.pggan import PGGANConfig
+    from rcgan_tpu.models.resnet_gan import ResnetGANConfig
+    from rcgan_tpu.serving import Sampler, load_exported
+    from rcgan_tpu.train.checkpoint import Checkpointer
+    from rcgan_tpu.train.pggan_loop import PGGANTrainConfig, PGGANTrainer
+
+    cfg = PGGANConfig(z_dim=8, dim=8, max_stage=2)  # final res 16x16
+    base = ResnetGANConfig(dim_g=8, dim_d=8, z_dim=8)
+    tr = PGGANTrainer(cfg, base, PGGANTrainConfig())
+    ts = tr.init(jax.random.key(0), 4)
+    Checkpointer(str(tmp_path / "ck")).save(0, ts, wait=True)
+
+    s = Sampler.from_checkpoint("pggan", str(tmp_path / "ck"), buckets=(2, 10),
+                                dim=8, z_dim=8, max_stage=2)
+    imgs = s.sample([0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 0, 1])  # ragged
+    assert imgs.shape == (12, 16, 16, 3)
+    assert np.abs(imgs).max() <= 1.0
+
+    path = str(tmp_path / "pg.bin")
+    b = s.export_sampler(path, bucket=2)
+    fn = load_exported(path)
+    z = np.random.RandomState(0).randn(b, 8).astype(np.float32)
+    labels = np.asarray([3, 7], np.int32)
+    np.testing.assert_allclose(np.asarray(fn(z, labels)),
+                               s.sample_with_z(z, labels), rtol=1e-5, atol=1e-5)
