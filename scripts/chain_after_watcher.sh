@@ -1,9 +1,11 @@
 #!/bin/bash
 # Wait for the tunnel-recovery watcher (phases I+H) to exit, then — if the
-# device tunnel is actually up — run phase J (128px progressive) and
-# phase K (MNIST rcgan+y with an ACTIVE re-noising schedule).  Keeps the
-# chip busy the moment the queued phases drain, without a human in the
-# loop.  Safe to re-run; it no-ops if the phases already produced output.
+# device tunnel is actually up — run the remaining queued phases in
+# evidence-per-hour order: K (MNIST rcgan+y with an ACTIVE re-noising
+# schedule, ~50 min), J (128px progressive, ~3h), L (CIFAR alpha=0.3
+# full-size cells, ~1.5h).  Keeps the chip busy the moment the queued
+# phases drain, without a human in the loop.  Safe to re-run; each phase
+# no-ops if its output already exists.
 cd "$(dirname "$0")/.."
 WPID=$(cat /tmp/tunnel_watcher.pid 2>/dev/null)
 if [ -n "$WPID" ]; then
@@ -16,15 +18,19 @@ for i in 1 2 3; do
   sleep 240
 done
 if [ "$ok" != 1 ]; then
-  echo "tunnel still down after watcher exit; not running phases J/K"
+  echo "tunnel still down after watcher exit; not running phases K/J/L"
   exit 1
+fi
+if [ ! -s runs/round3/rcgany_a0.6.txt ]; then
+  bash scripts/run_round3_phaseK.sh > runs/round3_phaseK_driver.log 2>&1
+  echo "phase K exit=$? at $(date +%H:%M:%S)"
 fi
 if [ ! -s runs/round3/pggan128_cond.txt ]; then
   bash scripts/run_round3_phaseJ.sh > runs/round3_phaseJ_driver.log 2>&1
   echo "phase J exit=$? at $(date +%H:%M:%S)"
 fi
-if [ ! -s runs/round3/rcgany_a0.6.txt ]; then
-  bash scripts/run_round3_phaseK.sh > runs/round3_phaseK_driver.log 2>&1
-  echo "phase K exit=$? at $(date +%H:%M:%S)"
+if [ ! -s runs/round3/cifar_rcgan_a0.3.txt ]; then
+  bash scripts/run_round3_phaseL.sh > runs/round3_phaseL_driver.log 2>&1
+  echo "phase L exit=$? at $(date +%H:%M:%S)"
 fi
 echo "chain complete at $(date +%H:%M:%S)"
