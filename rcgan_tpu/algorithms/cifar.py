@@ -43,9 +43,14 @@ class CifarAlgoConfig:
     vocab_size: int = 10
 
 
-def confusion_init_values(acfg: CifarAlgoConfig) -> np.ndarray:
-    """Diagonal-dominant logits init (``gan_resnet.py:505-520``)."""
-    v = acfg.vocab_size
+def confusion_init_values(acfg) -> np.ndarray:
+    """Diagonal-dominant logits init (``gan_resnet.py:505-520``).
+
+    Takes any config exposing ``vocab_size``/``y_dim`` and
+    ``confuse_init_diag`` — shared by the CIFAR stack and the MNIST
+    ``--confuse_init`` port (round-4 RCGAN-U stabilization study).
+    """
+    v = getattr(acfg, "vocab_size", None) or acfg.y_dim
     d = acfg.confuse_init_diag
     if d > 0.99 and v == 10:
         aa = 7.0

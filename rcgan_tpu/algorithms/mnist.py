@@ -41,6 +41,11 @@ class MnistAlgoConfig:
     loss_fn: str = "hinge"  # hinge | ce
     perm_multiplier: float = 10.0
     confuse_multiplier: float = 10.0
+    # Diagonal-dominant C-logits init, ported from the CIFAR stack
+    # (``gan_resnet.py:504-520``) for the RCGAN-U stabilization study —
+    # the reference's MNIST stack always uses the default initializer.
+    confuse_init: bool = False
+    confuse_init_diag: float = 0.2
     y_dim: int = 10
 
 
@@ -48,8 +53,15 @@ def confusion_matrix(ctx: Ctx, acfg: MnistAlgoConfig, confusion_actual: Optional
     """Learned ``softmax(confusion_logits)`` when ``estimate_confuse``
     (``mnist/model.py:102-106``), else the true C as a constant."""
     if acfg.estimate_confuse:
+        if acfg.confuse_init:
+            from rcgan_tpu.algorithms.cifar import confusion_init_values
+
+            vals = jnp.asarray(confusion_init_values(acfg))
+            init_fn = lambda key, shape, dtype: vals.astype(dtype)
+        else:
+            init_fn = inits.glorot_uniform()
         logits = ctx.param(
-            "confusion_logits", "logits", (acfg.y_dim, acfg.y_dim), inits.glorot_uniform()
+            "confusion_logits", "logits", (acfg.y_dim, acfg.y_dim), init_fn
         )
         return jax.nn.softmax(logits, axis=-1)
     assert confusion_actual is not None

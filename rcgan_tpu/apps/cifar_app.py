@@ -376,6 +376,22 @@ def main(argv=None):
             gen_label_acc_max = max(gen_label_acc_max, acc)
             metrics.plot("gen_label_acc", acc)
             metrics.plot("gen_label_acc_max", gen_label_acc_max)
+            if flags.algorithm == "rcgan-u":
+                # learned-C recovery error at the same cadence (round-4
+                # item 6): permutation-corrected row-wise TV vs the true C
+                from rcgan_tpu.evals.confusion_recovery import recovery_report
+
+                cm = np.asarray(jax.nn.softmax(
+                    ts.groups["confusion"]["confusion_logits"]["logits"], axis=-1))
+                rep = recovery_report(cm, np.asarray(c_alpha))
+                metrics.plot("c_recovery_tv", rep["raw_tv"])
+                metrics.plot("c_recovery_tv_perm", rep["perm_tv"])
+                metrics.plot("c_mean_diag", rep["mean_diag"])
+                log.info(
+                    "iter %d learned-C recovery: TV=%.4f perm-TV=%.4f mean-diag=%.4f "
+                    "perm=%s", iteration, rep["raw_tv"], rep["perm_tv"], rep["mean_diag"],
+                    "identity" if rep["perm_is_identity"] else rep["perm"].tolist(),
+                )
 
         if (iteration < 500) or (iteration % 1000 == 999):
             # reference cadence (gan_resnet.py:1007): flush + save every

@@ -48,6 +48,8 @@ def build_configs(flags):
         loss_fn=flags.loss_fn,
         perm_multiplier=flags.perm_multiplier,
         confuse_multiplier=flags.confuse_multiplier,
+        confuse_init=flags.confuse_init,
+        confuse_init_diag=flags.confuse_init_diag,
     )
     tcfg = MnistTrainConfig(
         learning_rate=flags.learning_rate,
@@ -125,6 +127,17 @@ def train(flags, trainer: MnistTrainer, ts, data: mnist_data.MnistData, ckpt: Ch
             noise_c = one_coin_matrix(rel_alpha, 10)
             y_real_ep, y_fake_ep = mnist_data.renoise_labels(
                 np.random.RandomState(epoch), data, noise_c
+            )
+            # Schedule-activity evidence (round-4 item 1): the relative coin
+            # weight this epoch plus the measured survival fraction of the
+            # re-noised labels — proves the annealing actually anneals
+            # instead of sitting at the identity (rel_alpha == 1.0).
+            survived = float(np.mean(y_real_ep == data.y_real))
+            metrics.plot("noise_rel_alpha", rel_alpha)
+            metrics.plot("noise_survival_frac", survived)
+            log.info(
+                "epoch %d re-noising: rel_alpha=%.4f, observed y_real survival=%.4f",
+                epoch, rel_alpha, survived,
             )
 
         def log_line(idx, m_at):
@@ -237,6 +250,22 @@ def train(flags, trainer: MnistTrainer, ts, data: mnist_data.MnistData, ckpt: Ch
             metrics.plot("gen_label_acc", acc)
             tb.scalar("gen_label_acc", acc, counter)
             log.info("######EPOCH=%d, mean generated label accuracy=%s", epoch, acc)
+            if "confusion" in ts.groups:  # RCGAN-U learned-C recovery trajectory
+                from rcgan_tpu.evals.confusion_recovery import recovery_report
+
+                cm = np.asarray(jax.nn.softmax(
+                    ts.groups["confusion"]["confusion_logits"]["logits"], axis=-1))
+                rep = recovery_report(cm, data.confusion)
+                metrics.plot("c_recovery_tv", rep["raw_tv"])
+                metrics.plot("c_recovery_tv_perm", rep["perm_tv"])
+                metrics.plot("c_mean_diag", rep["mean_diag"])
+                tb.scalar("c_recovery_tv_perm", rep["perm_tv"], counter)
+                log.info(
+                    "######EPOCH=%d, learned-C recovery: TV=%.4f perm-TV=%.4f "
+                    "mean-diag=%.4f perm=%s", epoch, rep["raw_tv"], rep["perm_tv"],
+                    rep["mean_diag"],
+                    "identity" if rep["perm_is_identity"] else rep["perm"].tolist(),
+                )
 
     tb.flush()
     return ts

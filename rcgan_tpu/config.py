@@ -59,6 +59,10 @@ def mnist_flags() -> FlagParser:
     p.define_string("algorithm", "biased", "[biased, unbiased, rcgan, ambient]")
     p.define_boolean("estimate_confuse", True, "Learn the confusion matrix (RCGAN-U)")
     p.define_float("confuse_multiplier", 10.0, "LR multiplier for confusion matrix")
+    # rebuild-only: CIFAR's --confuse_init (gan_resnet.py:504-520) ported to
+    # the MNIST stack for the RCGAN-U stabilization study (round-4 item 2)
+    p.define_boolean("confuse_init", False, "Diagonal-dominant C-logits init")
+    p.define_float("confuse_init_diag", 0.2, "Initial C diagonal")
     p.define_boolean("perm_regularizer", True, "Use permutation-regularizer classifier")
     # the run scripts toggle this as --aux_classifier/--noaux_classifier
     p.define_boolean("aux_classifier", None, "Alias of perm_regularizer")

@@ -16,7 +16,7 @@ last=$(ls $RUN_DIR/samples/train_*_0699.png 2>/dev/null | sort | tail -1)
 [ -n "$first" ] && cp $first $DEST/
 [ -n "$last" ] && cp $last $DEST/
 # trimmed log: classifier pin, per-eval accuracy, recovery
-grep -E "clean accuracy|######EPOCH=|label recovery" $LOG > $DEST/run.log || true
+grep -E "clean accuracy|######EPOCH=|label recovery|re-noising|learned-C recovery" $LOG > $DEST/run.log || true
 grep -E "label recovery accuracy" $LOG | tail -1 | sed 's/.*accuracy: /accuracy /' > $DEST/recovery.txt || true
 python - "$RUN_DIR/config.json" "$DEST/command.txt" <<'EOF'
 import json, sys

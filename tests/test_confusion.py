@@ -70,3 +70,37 @@ def test_make_label_tuple_real_match():
     )
     np.testing.assert_array_equal(np.asarray(y_gen), np.asarray(y_real))
     assert w.shape == (1000, 10)
+
+
+def test_recovery_report_exact_and_permuted():
+    from rcgan_tpu.evals.confusion_recovery import recovery_report
+
+    c = one_coin_matrix(0.6, 10)
+    rep = recovery_report(c, c)
+    assert rep["raw_tv"] == 0.0 and rep["perm_tv"] == 0.0
+    assert rep["perm_is_identity"]
+    np.testing.assert_allclose(rep["mean_diag"], 0.6)
+
+    # a row-permuted learned C (generator swapped classes): raw TV is large,
+    # permutation-corrected TV is zero and the permutation is recovered
+    perm = np.roll(np.arange(10), 3)
+    learned = c[perm]
+    rep = recovery_report(learned, c)
+    assert rep["perm_tv"] < 1e-12
+    assert rep["raw_tv"] > 0.4
+    assert not rep["perm_is_identity"]
+    np.testing.assert_array_equal(rep["perm"], perm)
+
+
+def test_recovery_report_noisy_estimate():
+    from rcgan_tpu.evals.confusion_recovery import recovery_report
+
+    c = one_coin_matrix(0.6, 10)
+    rs = np.random.RandomState(0)
+    learned = c + 0.01 * rs.rand(10, 10)
+    learned /= learned.sum(-1, keepdims=True)
+    rep = recovery_report(learned, c)
+    # small perturbation: identity is the best assignment, small TV
+    assert rep["perm_is_identity"]
+    assert 0.0 < rep["perm_tv"] < 0.05
+    assert rep["perm_tv"] <= rep["raw_tv"] + 1e-12

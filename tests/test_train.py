@@ -324,3 +324,23 @@ def test_cifar_step_scan_matches_sequential_steps():
         np.asarray(tr_a.sample(ts_a, z, lab)), np.asarray(tr_b.sample(ts_b, z, lab)),
         rtol=1e-3, atol=2e-3,
     )
+
+
+def test_mnist_confuse_init_diag_dominant():
+    """MNIST --confuse_init (port of gan_resnet.py:504-520): the learned C
+    starts as softmax of the diagonal-dominant logits, i.e. diagonal mass
+    equals confuse_init_diag (for diag <= 0.99)."""
+    cfg = DCGANConfig(batch_size=8, z_dim=16, gf_dim=8, df_dim=8, gfc_dim=32, dfc_dim=32,
+                      disc_type="projection", spectral_norm=True, max_norm=True)
+    acfg = MnistAlgoConfig(algorithm="rcgan", estimate_confuse=True, perm_regularizer=True,
+                           loss_fn="hinge", confuse_init=True, confuse_init_diag=0.4)
+    tr = MnistTrainer(cfg, acfg, MnistTrainConfig(), build_confusion(0.7, 10)[0])
+    ts = tr.init(jax.random.key(0), mnist_batch())
+    logits = np.asarray(ts.groups["confusion"]["confusion_logits"]["logits"])
+    c0 = np.asarray(jax.nn.softmax(jnp.asarray(logits), axis=-1))
+    # softmax of the reference's logits (aa = log(V d/(1-d)), diag aa-aa/V,
+    # off -aa/V) gives diagonal e^aa/(e^aa + V-1) — slightly above d itself
+    r = 10 * 0.4 / 0.6
+    np.testing.assert_allclose(np.diag(c0), r / (r + 9), rtol=1e-5)
+    off = c0[~np.eye(10, dtype=bool)]
+    np.testing.assert_allclose(off, 1 / (r + 9), rtol=1e-5)
