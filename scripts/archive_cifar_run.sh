@@ -6,7 +6,8 @@ cd "$(dirname "$0")/.."
 SRC=$1; LOG=$2; DEST=$3
 mkdir -p $DEST
 cp $SRC/config.json $DEST/ 2>/dev/null || true
-for f in d_cost g_cost dev_cost gen_label_acc inception_50k; do
+for f in d_cost g_cost dev_cost gen_label_acc inception_50k \
+         c_recovery_tv c_recovery_tv_perm c_mean_diag; do
   [ -f $SRC/$f.jpg ] && cp $SRC/$f.jpg $DEST/
 done
 cp $SRC/command.txt $DEST/ 2>/dev/null || true
