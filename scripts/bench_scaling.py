@@ -151,16 +151,25 @@ def main():
         dims = [int(x) for x in args.dims.split(",")] if args.dims else [256]
         base_dim = 128
 
+    # one failing config (OOM at the largest batch, a compile timeout at
+    # dim 256) must not lose the rows already measured — this runs
+    # unattended with an outer timeout, so flush after every row
     rows = []
-    for b in batches:
-        rows.append(bench_config(b, base_dim, dtype, args.bytes))
-    for d in dims:
-        rows.append(bench_config(args.dim_batch, d, dtype, args.bytes))
 
+    def flush():
+        if args.out:
+            with open(args.out, "w") as f:
+                json.dump(rows, f, indent=2)
+                f.write("\n")
+
+    for b, d in [(b, base_dim) for b in batches] + [(args.dim_batch, d) for d in dims]:
+        try:
+            rows.append(bench_config(b, d, dtype, args.bytes))
+        except Exception as e:  # noqa: BLE001
+            print(f"  (config batch={b} dim={d} failed: {type(e).__name__}: {e})")
+            rows.append({"batch": b, "dim": d, "error": f"{type(e).__name__}: {e}"})
+        flush()
     if args.out:
-        with open(args.out, "w") as f:
-            json.dump(rows, f, indent=2)
-            f.write("\n")
         print(f"wrote {args.out}")
 
 

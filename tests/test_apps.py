@@ -39,7 +39,7 @@ def test_cifar_app_end_to_end(tmp_path):
         "--niters", "2", "--batch_size", "8", "--dim_g", "8", "--dim_d", "8",
         "--embedding_dim", "12", "--n_critic", "2",
         "--inception_freq", "1000000", "--sample_freq", "2",
-        "--generated_label_accuracy_freq", "1000000",
+        "--generated_label_accuracy_freq", "2",
         "--perm_classifier", "--confuse_init",
         "--mesh_devices", "1", "--nomulti_gpu_multi_batch",
         "--eval_train_size", "256", "--synthetic_train_size", "512",
@@ -48,6 +48,9 @@ def test_cifar_app_end_to_end(tmp_path):
     assert 0.0 <= acc <= 1.0
     assert int(ts.step) == 2
     assert os.path.exists(log_file) and os.path.getsize(log_file) > 0
+    # the rcgan-u cadence must log the learned-C recovery metric (the
+    # round-4 branch a prior freq=1000000 setting left unexecuted)
+    assert "learned-C recovery" in open(log_file).read()
     run_dirs = [d for d in os.listdir(tmp_path) if d.startswith("rcgan-u_alpha0.6")]
     assert len(run_dirs) == 1
     run = tmp_path / run_dirs[0]
