@@ -31,9 +31,11 @@ def _filter2(img: jnp.ndarray, window: jnp.ndarray) -> jnp.ndarray:
     )
 
 
-def ssim(img1, img2, max_val: float = 255.0, filter_size: int = 11, filter_sigma: float = 1.5,
-         k1: float = 0.01, k2: float = 0.03):
-    """Returns (mean SSIM, mean contrast-structure) for [B,H,W,C] images."""
+def ssim_per_image(img1, img2, max_val: float = 255.0, filter_size: int = 11,
+                   filter_sigma: float = 1.5, k1: float = 0.01, k2: float = 0.03):
+    """Returns ([B] SSIM, [B] contrast-structure) for [B,H,W,C] image pairs
+    (spatial/channel mean only — the batch axis stays separate, so callers
+    can aggregate per-pair statistics; :func:`ssim` is its batch mean)."""
     img1 = jnp.asarray(img1, jnp.float32)
     img2 = jnp.asarray(img2, jnp.float32)
     h, w = img1.shape[1:3]
@@ -59,9 +61,17 @@ def ssim(img1, img2, max_val: float = 255.0, filter_size: int = 11, filter_sigma
     c2 = (k2 * max_val) ** 2
     v1 = 2.0 * sigma12 + c2
     v2 = sigma11 + sigma22 + c2
-    s = jnp.mean((2.0 * mu12 + c1) * v1 / ((mu11 + mu22 + c1) * v2))
-    cs = jnp.mean(v1 / v2)
+    axes = (1, 2, 3)
+    s = jnp.mean((2.0 * mu12 + c1) * v1 / ((mu11 + mu22 + c1) * v2), axis=axes)
+    cs = jnp.mean(v1 / v2, axis=axes)
     return s, cs
+
+
+def ssim(img1, img2, max_val: float = 255.0, filter_size: int = 11, filter_sigma: float = 1.5,
+         k1: float = 0.01, k2: float = 0.03):
+    """Returns (mean SSIM, mean contrast-structure) for [B,H,W,C] images."""
+    s, cs = ssim_per_image(img1, img2, max_val, filter_size, filter_sigma, k1, k2)
+    return jnp.mean(s), jnp.mean(cs)
 
 
 def _downsample2(img):
@@ -83,10 +93,36 @@ def msssim(img1, img2, max_val: float = 255.0, weights=_WEIGHTS) -> float:
         mssim.append(s)
         mcs.append(cs)
         img1, img2 = _downsample2(img1), _downsample2(img2)
-    mssim = jnp.stack(mssim)
-    mcs = jnp.stack(mcs)
+    # clamp at 0 before the fractional powers: cs can go negative for very
+    # dissimilar pairs, and (negative)**0.0448 is NaN (the tf.image
+    # ssim_multiscale relu convention)
+    mssim = jnp.maximum(jnp.stack(mssim), 0.0)
+    mcs = jnp.maximum(jnp.stack(mcs), 0.0)
     w = jnp.asarray(weights)
     return float(jnp.prod(mcs[:-1] ** w[:-1]) * (mssim[-1] ** w[-1]))
+
+
+def msssim_pairs(img1, img2, max_val: float = 255.0, weights=_WEIGHTS) -> jnp.ndarray:
+    """Per-pair multi-scale SSIM, batched: [B,H,W,C] × [B,H,W,C] → [B].
+
+    The per-pair values let callers report pairwise-similarity
+    *distributions* — the mean intra-class MS-SSIM diversity protocol
+    (Odena et al. 2017) the reference vendors its ``msssim.py`` CLI for
+    (``cifar10/common/msssim.py``) — where :func:`msssim`'s scalar
+    (products of batch-mean scale factors) would conflate the pairs."""
+    img1 = jnp.asarray(img1, jnp.float32)
+    img2 = jnp.asarray(img2, jnp.float32)
+    mssim, mcs = [], []
+    for _ in weights:
+        s, cs = ssim_per_image(img1, img2, max_val=max_val)
+        mssim.append(s)
+        mcs.append(cs)
+        img1, img2 = _downsample2(img1), _downsample2(img2)
+    # same relu-before-power convention as :func:`msssim`
+    mssim = jnp.maximum(jnp.stack(mssim), 0.0)  # [scale, B]
+    mcs = jnp.maximum(jnp.stack(mcs), 0.0)
+    w = jnp.asarray(weights)[:, None]
+    return jnp.prod(mcs[:-1] ** w[:-1], axis=0) * (mssim[-1] ** w[-1, 0])
 
 
 def _main():

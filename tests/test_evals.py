@@ -126,6 +126,67 @@ def test_ssim_msssim_identity_and_noise():
     assert msssim(img, noisy) < 0.99
 
 
+def test_msssim_pairs_matches_singleton_msssim():
+    """Batched per-pair MS-SSIM == the scalar CLI value pair by pair (the
+    scalar path multiplies batch-MEAN scale factors, so equality only holds
+    at batch size 1 — exactly what the per-pair variant exists to fix)."""
+    from rcgan_tpu.evals.msssim import msssim_pairs
+
+    rs = np.random.RandomState(1)
+    a = rs.rand(4, 64, 64, 3).astype(np.float32) * 255
+    b = np.clip(a + 25 * rs.randn(*a.shape), 0, 255).astype(np.float32)
+    batched = np.asarray(msssim_pairs(a, b))
+    assert batched.shape == (4,)
+    singles = np.array([msssim(a[i : i + 1], b[i : i + 1]) for i in range(4)])
+    np.testing.assert_allclose(batched, singles, rtol=1e-5)
+    # identity pairs score ~1, and distinct-content pairs score lower
+    ident = np.asarray(msssim_pairs(a, a))
+    assert (ident > 0.999).all()
+    assert (batched < ident).all()
+
+
+def test_msssim_report_end_to_end(tmp_path, capsys):
+    """scripts/msssim_report.py against a tiny fresh cifar checkpoint: the
+    report JSON carries per-class generated AND real-baseline means, the
+    real baseline shows the data's intra-class structure (well above 0),
+    and an UNTRAINED generator's unstructured output lands far from the
+    real number — the mismatch signal the report exists to surface
+    (collapse reads as >> real, noise as << real)."""
+    import json
+
+    from rcgan_tpu.algorithms.cifar import CifarAlgoConfig
+    from rcgan_tpu.data.confusion import one_coin_matrix
+    from rcgan_tpu.models.resnet_gan import ResnetGANConfig
+    from rcgan_tpu.train.checkpoint import Checkpointer
+    from rcgan_tpu.train.cifar_loop import CifarTrainer, CifarTrainConfig
+
+    cfg = ResnetGANConfig(dim_g=8, dim_d=8, embedding_dim=12)
+    tr = CifarTrainer(cfg, CifarAlgoConfig(), CifarTrainConfig(), one_coin_matrix(0.6, 10))
+    ts = tr.init(jax.random.key(0), 8)
+    run = tmp_path / "run"
+    Checkpointer(str(run / "checkpoint")).save(0, ts, wait=True)
+    (run / "config.json").write_text(json.dumps({
+        "algorithm": "rcgan", "dim_g": 8, "dim_d": 8, "embedding_dim": 12,
+    }))
+
+    import importlib
+
+    mod = importlib.import_module("scripts.msssim_report")
+    out = tmp_path / "msssim.json"
+    mod.main([
+        "--model", "cifar", "--checkpoint_dir", str(run / "checkpoint"),
+        "--per_class", "6", "--pairs", "10", "--real_pool", "256",
+        "--out", str(out),
+    ])
+    rep = json.loads(out.read_text())
+    assert set(rep["generated"]) == {str(c) for c in range(10)}
+    assert 0.3 < rep["real_mean"] < 1.0, rep["real_mean"]
+    assert 0.0 <= rep["generated_mean"] <= 1.0
+    # fresh G output is unstructured noise — nowhere near the real data's
+    # intra-class similarity band
+    assert abs(rep["generated_mean"] - rep["real_mean"]) > 0.1, rep
+
+
 def test_real_data_score_anchor():
     """A well-trained classifier on clearly-separable real data should score
     near n_classes — the analog of the reference's 11.31 real-CIFAR anchor."""
