@@ -450,6 +450,15 @@ class Coalescer:
 MAX_REQUEST_SAMPLES = 1024
 
 
+def to_unit_range(model: str, imgs: np.ndarray) -> np.ndarray:
+    """Model output range → [0,1] for PNG encoding.  MNIST's sigmoid head
+    already is; the CIFAR and PGGAN generators end in tanh ([-1,1]) —
+    clipping them instead would zero the whole negative half."""
+    if model in ("cifar", "pggan"):
+        return (imgs + 1.0) / 2.0
+    return imgs
+
+
 def _to_png_grid(imgs: np.ndarray) -> bytes:
     from rcgan_tpu.utils.images import merge
 
@@ -564,8 +573,7 @@ def make_server(models: Union[Sampler, Dict[str, Sampler]], port: int = 8321,
                 mx.observe_error(name)
                 return self._send(500, b"sampling failed")
             mx.observe_request(name, time.perf_counter() - t0, len(labels))
-            if registry[name].model == "cifar":
-                imgs = (imgs + 1.0) / 2.0
+            imgs = to_unit_range(registry[name].model, imgs)
             return self._send(200, _to_png_grid(imgs), "image/png")
 
     class Server(ThreadingHTTPServer):
@@ -639,8 +647,7 @@ def main(argv=None):
     else:
         labels = list(np.arange(args.n) % 10)
     imgs = sampler.sample(labels, jax.random.key(args.seed))
-    if args.model == "cifar":
-        imgs = (imgs + 1.0) / 2.0
+    imgs = to_unit_range(args.model, imgs)
     n = len(imgs)
     side = int(np.floor(np.sqrt(n)))
     save_images(imgs[: side * side], (side, side), args.out)

@@ -421,3 +421,19 @@ def test_serving_pggan_checkpoint(tmp_path):
     labels = np.asarray([3, 7], np.int32)
     np.testing.assert_allclose(np.asarray(fn(z, labels)),
                                s.sample_with_z(z, labels), rtol=1e-5, atol=1e-5)
+
+    # CLI grid path: tanh output must be rescaled to [0,1], not clipped —
+    # the clipping bug zeroed the whole negative half of every pggan grid
+    import json
+
+    from PIL import Image
+
+    from rcgan_tpu import serving
+
+    (tmp_path / "config.json").write_text(json.dumps(
+        {"z_dim": 8, "dim": 8, "max_stage": 2}))
+    out = str(tmp_path / "grid.png")
+    serving.main(["--model", "pggan", "--checkpoint_dir", str(tmp_path / "ck"),
+                  "--labels", "0,1,2,3", "--out", out])
+    arr = np.asarray(Image.open(out))
+    assert (arr == 0).mean() < 0.2, "negative tanh half was clipped to black"
