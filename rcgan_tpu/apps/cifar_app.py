@@ -203,6 +203,7 @@ def main(argv=None):
         flags.data_dir, flags.alpha, allow_synthetic=flags.allow_synthetic,
         synthetic_train_size=flags.synthetic_train_size,
         synthetic_test_size=max(flags.batch_size, flags.synthetic_train_size // 5),
+        noise_seed=flags.seed,  # replication knob; 0 = the archived stream
     )
 
     dtype = jnp.bfloat16 if flags.compute_dtype == "bfloat16" else jnp.float32
@@ -213,7 +214,7 @@ def main(argv=None):
                               for k, v in device_dataset_of(dev_split).items()}
     trainer = CifarTrainer(cfg, acfg, tcfg, c_alpha, mesh=mesh, compute_dtype=dtype,
                            device_dataset=device_dataset)
-    ts = trainer.init(jax.random.key(0), batch_size)
+    ts = trainer.init(jax.random.key(flags.seed), batch_size)
 
     ckpt = Checkpointer(ckpt_dir)
     if flags.restore:
@@ -292,7 +293,7 @@ def main(argv=None):
     start_iter = int(ts.step)
     inception_score_max = 0.0
     gen_label_acc_max = 0.0
-    rng = jax.random.key(42)
+    rng = jax.random.key(42 + flags.seed)
     pending = []
     guard = PreemptionGuard()
     t0 = time.time()

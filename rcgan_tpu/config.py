@@ -100,6 +100,11 @@ def cifar_flags() -> FlagParser:
     module-constant overrides, same names/defaults."""
     p = FlagParser(description="rcgan_tpu CIFAR-10 ResNet GAN trainer")
     p.define_string("dataset", "cifar", "Dataset")
+    # extension (the reference CIFAR stack exposes no seed): replication
+    # offset for init / label-noise / training RNG; 0 reproduces the
+    # archived-run stream exactly, and the synthetic class universe stays
+    # fixed so pinned eval classifiers remain valid across seeds
+    p.define_integer("seed", 0, "Replication seed offset (0 = archived stream)")
     p.define_string("algorithm", "rcgan", "[rcgan, rcgan-u, biased, unbiased]")
     p.define_float("alpha", 0.8, "1 - noise level")
     p.define_string("run", "0", "Run name")

@@ -206,9 +206,14 @@ def load(
     allow_synthetic: bool = True,
     synthetic_train_size: int = 50000,
     synthetic_test_size: int = 10000,
+    noise_seed: int | None = None,
 ) -> Tuple[CifarSplit, CifarSplit]:
     """Returns (train, dev) splits with corrupted labels, matching
-    ``cifar10/common/data/cifar10.py:48-52``."""
+    ``cifar10/common/data/cifar10.py:48-52``.
+
+    ``noise_seed`` (default: ``seed``) seeds only the label-corruption
+    draw — replication runs vary it while keeping the image universe
+    (and therefore the pinned eval classifiers) fixed."""
 
     def read(files):
         xs, ys = [], []
@@ -229,9 +234,10 @@ def load(
     else:
         raise FileNotFoundError(f"CIFAR-10 batches not found under {data_dir}")
 
+    nseed = seed if noise_seed is None else noise_seed
     return (
-        _make_split(train_x, train_y, alpha, seed + 1),
-        _make_split(test_x, test_y, alpha, seed + 2),
+        _make_split(train_x, train_y, alpha, nseed + 1),
+        _make_split(test_x, test_y, alpha, nseed + 2),
     )
 
 

@@ -56,6 +56,26 @@ def test_cifar_loader_and_epoch_protocol():
     np.testing.assert_array_equal(np.concatenate([s0[0], s1[0]]), imgs)
 
 
+def test_cifar_noise_seed_reroll_keeps_image_universe():
+    """The --seed replication knob re-rolls ONLY the label-corruption draw:
+    images and true labels are bit-identical across noise seeds (so pinned
+    eval classifiers stay valid), the noisy-label draw differs, and
+    noise_seed=None reproduces the default-stream split exactly."""
+    base, _ = cifar_data.load("/nonexistent", alpha=0.6, synthetic_train_size=512,
+                              synthetic_test_size=128)
+    same, _ = cifar_data.load("/nonexistent", alpha=0.6, synthetic_train_size=512,
+                              synthetic_test_size=128, noise_seed=0)
+    re, _ = cifar_data.load("/nonexistent", alpha=0.6, synthetic_train_size=512,
+                            synthetic_test_size=128, noise_seed=123)
+    np.testing.assert_array_equal(base.labels, same.labels)
+    np.testing.assert_array_equal(base.images, re.images)
+    np.testing.assert_array_equal(base.labels_actual, re.labels_actual)
+    assert (base.labels != re.labels).any()
+    # the re-rolled draw is still an alpha=0.6 one-coin corruption
+    keep = (re.labels == re.labels_actual).mean()
+    assert 0.55 < keep < 0.73, keep  # 0.6 + 0.04 uniform-offdiag mass, ±tol
+
+
 def test_synthetic_cifar_intra_class_variation_and_split_consistency():
     """The v2 synthetic data must (a) vary WITHIN a class (no fixed
     templates for D to memorize — VERDICT r1 item 1) and (b) keep the SAME
