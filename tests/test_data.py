@@ -33,6 +33,21 @@ def test_mnist_noise_schedule():
     assert 0 < a0 <= 1.0 and a0 <= a_mid <= a_end == 1.0
 
 
+def test_mnist_noise_schedule_effective_noise():
+    """The relative coin composes to EXACTLY the requested effective noise
+    level: diag(C(alpha) @ one_coin(rel)) == noise_alpha during warm-up.
+    Pins the two committed ablation regimes (QUALITY.md): alpha=0.3 with
+    noise_alpha=0.15 (rel 0.3250 -> eff diag 0.15, below the conditioning
+    threshold) and noise_alpha=0.25 (rel 0.7750 -> eff diag 0.25, inside
+    it)."""
+    for noise_alpha, want_rel in [(0.15, 0.3250), (0.25, 0.7750)]:
+        rel = mnist_data.noise_schedule_alpha(0, alpha=0.3, noise_alpha=noise_alpha,
+                                              noise_start=30, noise_end=80)
+        np.testing.assert_allclose(rel, want_rel, atol=1e-4)
+        eff = one_coin_matrix(0.3, 10) @ one_coin_matrix(rel, 10)
+        np.testing.assert_allclose(np.diag(eff), noise_alpha, atol=1e-6)
+
+
 def test_mnist_renoise_changes_labels():
     d = mnist_data.load_mnist("/nonexistent", alpha=0.7)
     noise_c = one_coin_matrix(0.5, 10)
