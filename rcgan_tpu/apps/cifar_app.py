@@ -384,6 +384,17 @@ def main(argv=None):
 
                 cm = np.asarray(jax.nn.softmax(
                     ts.groups["confusion"]["confusion_logits"]["logits"], axis=-1))
+                if flags.perm_gen_label_acc:
+                    # permutation-corrected accuracy trajectory: the same
+                    # argmax-binarized learned-C label remap the reference
+                    # applies at the end of every rcgan-u run
+                    # (gan_resnet.py:429-439,1022-1029), here logged at the
+                    # gen-label-acc cadence alongside the raw column
+                    acc_perm = generated_label_accuracy(
+                        eval_cls, _to_cls_images(samples), labels, confusion_matrix=cm)
+                    metrics.plot("gen_label_acc_perm", acc_perm)
+                    log.info("iter %d gen-label-acc raw %.4f perm-corrected %.4f",
+                             iteration, acc, acc_perm)
                 rep = recovery_report(cm, np.asarray(c_alpha))
                 metrics.plot("c_recovery_tv", rep["raw_tv"])
                 metrics.plot("c_recovery_tv_perm", rep["perm_tv"])
@@ -476,11 +487,17 @@ def main(argv=None):
             iteration += 1
 
     # final gen-label accuracy, optionally permutation-corrected
+    # (gan_resnet.py:1021-1035); when the correction applies we report BOTH
+    # numbers so the archive shows raw vs perm-corrected side by side
     samples, labels = make_samples(1000)
     cm = None
     if flags.perm_gen_label_acc and flags.algorithm == "rcgan-u":
         cm = np.asarray(jax.nn.softmax(ts.params["confusion_logits"]["logits"], axis=-1))
     acc = generated_label_accuracy(eval_cls, _to_cls_images(samples), labels, confusion_matrix=cm)
+    if cm is not None:
+        raw_acc = generated_label_accuracy(eval_cls, _to_cls_images(samples), labels)
+        metrics.plot("gen_label_acc_raw", raw_acc)
+        log.info("final raw (uncorrected) generated label accuracy: %s", raw_acc)
     metrics.plot("gen_label_acc", acc)
     metrics.dir_flush(run_path)
     ckpt.close()  # finalize any in-flight async save

@@ -103,14 +103,21 @@ def conv2d_lib(
     spectral_normed: bool = False,
     he_init: bool = True,
     mask_type=None,
+    weightnorm: bool = False,
     biases: bool = True,
     gain: float = 1.0,
 ):
     """GAN_Lib Conv2D.  ``mask_type``: None or ('a'|'b', n_channels) for
-    PixelCNN-style causal masks (``conv2d.py:63-81``)."""
+    PixelCNN-style causal masks (``conv2d.py:63-81``).  ``weightnorm``
+    reparameterizes the filter as ``W * g / ||W||`` with the per-output-channel
+    norm over (h, w, cin) and a trainable ``g`` initialized to the init-time
+    filter norms (``conv2d.py:152-162``); applied before mask/SN, matching the
+    reference order."""
     init = inits.conv_uniform(stride=stride, he=he_init, gain=gain)
     if conv_type == "conv2d":
         w = ctx.param(name, "Filters", (filter_size, filter_size, input_dim, output_dim), init)
+        if weightnorm:
+            w = _weightnormed(ctx, name, w, axes=(0, 1, 2))
         if mask_type is not None:
             w = w * jnp.asarray(_pixelcnn_mask(mask_type, filter_size, input_dim, output_dim))
         if spectral_normed:
@@ -143,6 +150,21 @@ def conv2d_lib(
         b = ctx.param(name, "Biases", (output_dim,), inits.zeros)
         out = out + b.astype(out.dtype)
     return out
+
+
+def _weightnormed(ctx: Ctx, name: str, w: jax.Array, axes) -> jax.Array:
+    """Weight-norm reparameterization ``W * g / ||W||``
+    (``cifar10/common/ops/conv2d.py:152-162``, ``linear.py:143-155``).
+
+    ``g`` is a trainable per-output-channel scale whose initial value is the
+    L2 norm of the INITIAL weights over ``axes`` — at init time ``w`` IS the
+    initial value, so the init closure computes it directly."""
+    g = ctx.param(
+        name, "g", (w.shape[-1],),
+        lambda key, shape, dtype: jnp.sqrt(jnp.sum(jnp.square(w), axis=axes)).astype(dtype),
+    )
+    norms = jnp.sqrt(jnp.sum(jnp.square(w), axis=axes))
+    return w * (g / norms)
 
 
 def _depthwise(x, dw, stride, padding, compute_dtype):

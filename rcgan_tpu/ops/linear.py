@@ -56,13 +56,21 @@ def linear_lib(
     output_dim: int,
     name: str,
     spectral_normed: bool = False,
+    weightnorm: bool = False,
     biases: bool = True,
     initialization=None,
     gain: float = 1.0,
 ):
-    """GAN_Lib Linear with init zoo + optional SN.  Handles >2D inputs by
-    flattening leading dims (``linear.py:162-174``)."""
+    """GAN_Lib Linear with init zoo + optional SN / weight norm.  Handles >2D
+    inputs by flattening leading dims (``linear.py:162-174``).  ``weightnorm``
+    reparameterizes ``W`` as ``W * g / ||W||`` with per-output-column norms and
+    trainable ``g`` initialized to the init-time norms (``linear.py:143-155``);
+    applied before SN, matching the reference order."""
     w = ctx.param(name, "W", (input_dim, output_dim), inits.linear_uniform(initialization, gain))
+    if weightnorm:
+        from rcgan_tpu.ops.conv import _weightnormed
+
+        w = _weightnormed(ctx, name, w, axes=(0,))
     if spectral_normed:
         w = spectral_normed_weight(ctx, name, w)
 

@@ -40,7 +40,7 @@ def test_cifar_app_end_to_end(tmp_path):
         "--embedding_dim", "12", "--n_critic", "2",
         "--inception_freq", "1000000", "--sample_freq", "2",
         "--generated_label_accuracy_freq", "2",
-        "--perm_classifier", "--confuse_init",
+        "--perm_classifier", "--confuse_init", "--perm_gen_label_acc",
         "--mesh_devices", "1", "--nomulti_gpu_multi_batch",
         "--eval_train_size", "256", "--synthetic_train_size", "512",
         "--compute_dtype", "float32",
@@ -48,9 +48,15 @@ def test_cifar_app_end_to_end(tmp_path):
     assert 0.0 <= acc <= 1.0
     assert int(ts.step) == 2
     assert os.path.exists(log_file) and os.path.getsize(log_file) > 0
+    log_text = open(log_file).read()
     # the rcgan-u cadence must log the learned-C recovery metric (the
     # round-4 branch a prior freq=1000000 setting left unexecuted)
-    assert "learned-C recovery" in open(log_file).read()
+    assert "learned-C recovery" in log_text
+    # --perm_gen_label_acc adds the permutation-corrected accuracy column at
+    # the cadence AND reports both raw + corrected numbers at the end
+    # (gan_resnet.py:429-439,1022-1029)
+    assert "gen-label-acc raw" in log_text
+    assert "final raw (uncorrected) generated label accuracy" in log_text
     run_dirs = [d for d in os.listdir(tmp_path) if d.startswith("rcgan-u_alpha0.6")]
     assert len(run_dirs) == 1
     run = tmp_path / run_dirs[0]

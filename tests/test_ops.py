@@ -148,6 +148,68 @@ def test_conv2d_lib_shapes_and_sn():
     assert "u" in ns["C"]
 
 
+def test_conv2d_lib_weightnorm_numpy_oracle():
+    """weightnorm (``conv2d.py:152-162``): effective filter = W * g/||W||
+    with per-output-channel norms over (h, w, cin); ``g`` is a trainable param
+    initialized to the init-time norms, so at init the op is an identity
+    reparameterization (same output as weightnorm=False on the same key)."""
+    x = jnp.asarray(np.random.RandomState(0).normal(size=(2, 8, 8, 3)).astype(np.float32))
+
+    def f(ctx):
+        return conv2d_lib(ctx, x, 3, 16, 3, 1, "C", weightnorm=True)
+
+    t = transform(f)
+    params, state = t.init(jax.random.key(0))
+    w = np.asarray(params["C"]["Filters"])
+    g = np.asarray(params["C"]["g"])
+    np.testing.assert_allclose(g, np.sqrt(np.square(w).sum(axis=(0, 1, 2))), rtol=1e-6)
+    out, _ = t.apply(params, state, None)
+
+    def f_plain(ctx):
+        return conv2d_lib(ctx, x, 3, 16, 3, 1, "C", weightnorm=False)
+
+    tp = transform(f_plain)
+    params_p, state_p = tp.init(jax.random.key(0))
+    out_p, _ = tp.apply(params_p, state_p, None)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(out_p), rtol=1e-5, atol=1e-5)
+
+    # after perturbing g, the effective filter is W * g/||W|| — NumPy oracle
+    params["C"]["g"] = params["C"]["g"] * 2.0
+    out2, _ = t.apply(params, state, None)
+    np.testing.assert_allclose(np.asarray(out2), 2.0 * np.asarray(out_p), rtol=1e-4, atol=1e-4)
+    # and g is trainable: gradients flow to it
+    grads = jax.grad(lambda p: jnp.sum(t.apply(p, state, None)[0] ** 2))(params)
+    assert float(jnp.abs(grads["C"]["g"]).sum()) > 0.0
+
+
+def test_linear_lib_weightnorm_numpy_oracle():
+    """weightnorm (``linear.py:143-155``): W_eff = W * g/||W||_cols; identity
+    at init, scales columns with g afterwards."""
+    x = jnp.asarray(np.random.RandomState(1).normal(size=(4, 7)).astype(np.float32))
+
+    def f(ctx):
+        return linear_lib(ctx, x, 7, 5, "L", weightnorm=True, initialization="he")
+
+    t = transform(f)
+    params, state = t.init(jax.random.key(0))
+    w = np.asarray(params["L"]["W"])
+    g = np.asarray(params["L"]["g"])
+    np.testing.assert_allclose(g, np.sqrt(np.square(w).sum(axis=0)), rtol=1e-6)
+    out, _ = t.apply(params, state, None)
+    w_eff = w * (g / np.sqrt(np.square(w).sum(axis=0)))
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(x) @ w_eff + np.asarray(params["L"]["b"]),
+        rtol=1e-5, atol=1e-5,
+    )
+    params["L"]["g"] = params["L"]["g"] * jnp.asarray(np.arange(1.0, 6.0, dtype=np.float32))
+    out2, _ = t.apply(params, state, None)
+    w_eff2 = w * (np.arange(1.0, 6.0, dtype=np.float32) * g / np.sqrt(np.square(w).sum(axis=0)))
+    np.testing.assert_allclose(
+        np.asarray(out2), np.asarray(x) @ w_eff2 + np.asarray(params["L"]["b"]),
+        rtol=1e-5, atol=1e-5,
+    )
+
+
 def test_mean_pool_and_upsample():
     x = jnp.arange(16.0).reshape(1, 4, 4, 1)
     mp = mean_pool(x)
