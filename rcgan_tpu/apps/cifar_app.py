@@ -62,6 +62,7 @@ def build_configs(flags, n_devices: int):
         decay=flags.decay,
         confuse_multiplier=flags.confuse_multiplier,
         confuse_lr_decay=flags.confuse_lr_decay,
+        moment_dtype=flags.opt_moment_dtype,
     )
     return cfg, acfg, tcfg, batch_size, iters
 

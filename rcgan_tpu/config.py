@@ -34,7 +34,9 @@ class FlagParser(argparse.ArgumentParser):
 def mnist_flags() -> FlagParser:
     """The 34 MNIST flags (``mnist/main.py:12-66``), same names/defaults."""
     p = FlagParser(description="rcgan_tpu MNIST trainer")
-    p.define_integer("epoch", 25, "Epochs to train")
+    # default 5 per mnist/main.py:13 (its help text says "[25]" but the
+    # actual default is 5; the run scripts always pass --epoch explicitly)
+    p.define_integer("epoch", 5, "Epochs to train [25]")
     p.define_float("learning_rate", 0.0002, "Adam learning rate")
     p.define_float("beta1", 0.5, "Adam beta1")
     p.define_float("train_size", float("inf"), "Max train images")
@@ -153,6 +155,9 @@ def cifar_flags() -> FlagParser:
     p.define_integer("eval_train_size", 20000, "Eval-classifier training examples")
     p.define_integer("synthetic_train_size", 50000, "Synthetic dataset size")
     p.define_integer("profile_steps", 0, "Capture a jax.profiler trace of N warm steps")
+    p.define_string("opt_moment_dtype", None,
+                    "Adam moment storage dtype override (e.g. bfloat16; "
+                    "halves optimizer HBM traffic; default float32)")
     p.define_boolean("device_data", True,
                      "Keep the full dataset resident in HBM and feed index "
                      "batches (eliminates per-iteration host transfers)")

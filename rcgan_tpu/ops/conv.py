@@ -30,9 +30,19 @@ def _conv(x, w, stride, padding, compute_dtype, feature_group_count=1):
     # Inputs cast to the compute dtype; the TPU MXU accumulates bf16
     # contractions in float32 internally, so no preferred_element_type is
     # needed (and its VJP rejects mixed f32 cotangents in this JAX version).
+    x = x.astype(compute_dtype)
+    w = w.astype(compute_dtype)
+    if feature_group_count == 1:
+        # measured A/B routing hook for the dominant 3x3/s1/SAME class
+        # (ops/pallas/conv_kernel.py; returns None when routed off)
+        from rcgan_tpu.ops.pallas.conv_kernel import maybe_conv3x3
+
+        out = maybe_conv3x3(x, w, stride, padding)
+        if out is not None:
+            return out
     return jax.lax.conv_general_dilated(
-        x.astype(compute_dtype),
-        w.astype(compute_dtype),
+        x,
+        w,
         window_strides=(stride, stride),
         padding=padding,
         dimension_numbers=_DIMS,

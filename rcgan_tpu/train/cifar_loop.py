@@ -51,6 +51,9 @@ class CifarTrainConfig:
     decay: bool = True
     confuse_multiplier: float = 1.0
     confuse_lr_decay: bool = False
+    # optional low-precision Adam-moment storage ("bfloat16"): halves the
+    # optimizer tail's HBM traffic; None = reference-faithful float32
+    moment_dtype: Optional[str] = None
 
 
 class CifarTrainer:
@@ -79,7 +82,7 @@ class CifarTrainer:
         self.device_dataset = device_dataset
         if device_dataset is not None:
             self.device_dataset = {k: jnp.asarray(v) for k, v in device_dataset.items()}
-        adam = lambda: scaleless_adam(tcfg.beta1, tcfg.beta2)
+        adam = lambda: scaleless_adam(tcfg.beta1, tcfg.beta2, moment_dtype=tcfg.moment_dtype)
         self.optimizers = {"disc": adam(), "gen": adam(), "confusion": adam()}
 
     # ------------------------------------------------------------- build

@@ -42,11 +42,53 @@ class TrainState:
         return TrainState(**d)
 
 
-def scaleless_adam(b1: float, b2: float, eps: float = 1e-8) -> optax.GradientTransformation:
+def scaleless_adam(
+    b1: float, b2: float, eps: float = 1e-8, moment_dtype=None
+) -> optax.GradientTransformation:
     """Adam direction without the learning rate — the step multiplies by the
     (possibly decayed) lr, replicating ``LR * decay`` fed to
-    ``tf.train.AdamOptimizer`` every iteration (``gan_resnet.py:802-817``)."""
-    return optax.chain(optax.scale_by_adam(b1=b1, b2=b2, eps=eps), optax.scale(-1.0))
+    ``tf.train.AdamOptimizer`` every iteration (``gan_resnet.py:802-817``).
+
+    ``moment_dtype``: optional low-precision storage dtype (e.g. bfloat16)
+    for BOTH Adam moments — halves the optimizer tail's HBM traffic and
+    state size.  Arithmetic stays float32 (moments are widened, updated,
+    then narrowed for storage).  Off the reference path; A/B'd for perf."""
+    if moment_dtype is None:
+        return optax.chain(optax.scale_by_adam(b1=b1, b2=b2, eps=eps), optax.scale(-1.0))
+    return _scale_by_adam_lowp(b1, b2, eps, jnp.dtype(moment_dtype))
+
+
+def _scale_by_adam_lowp(b1: float, b2: float, eps: float, dtype) -> optax.GradientTransformation:
+    def init(params):
+        zeros = lambda p: jnp.zeros(p.shape, dtype)
+        return optax.ScaleByAdamState(
+            count=jnp.zeros((), jnp.int32),
+            mu=jax.tree_util.tree_map(zeros, params),
+            nu=jax.tree_util.tree_map(zeros, params),
+        )
+
+    def update(grads, state, params=None):
+        del params
+        count = state.count + 1
+        mu32 = jax.tree_util.tree_map(
+            lambda m, g: b1 * m.astype(jnp.float32) + (1.0 - b1) * g.astype(jnp.float32),
+            state.mu, grads,
+        )
+        nu32 = jax.tree_util.tree_map(
+            lambda v, g: b2 * v.astype(jnp.float32)
+            + (1.0 - b2) * jnp.square(g.astype(jnp.float32)),
+            state.nu, grads,
+        )
+        c = count.astype(jnp.float32)
+        bc1 = 1.0 - b1 ** c
+        bc2 = 1.0 - b2 ** c
+        updates = jax.tree_util.tree_map(
+            lambda m, v: -(m / bc1) / (jnp.sqrt(v / bc2) + eps), mu32, nu32
+        )
+        narrow = lambda t: jax.tree_util.tree_map(lambda x: x.astype(dtype), t)
+        return updates, optax.ScaleByAdamState(count=count, mu=narrow(mu32), nu=narrow(nu32))
+
+    return optax.GradientTransformation(init, update)
 
 
 def apply_updates_with_lr(params: Params, updates: Params, lr) -> Params:

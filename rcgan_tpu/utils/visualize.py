@@ -65,6 +65,12 @@ def visualize(
     option 0: one random grid.
     option 1: sweep each of ``n_frames`` z-dims across [-1, 1], one PNG per dim.
     option 2: same sweep rendered as an animated GIF per dim.
+    option 3: zero-base sweep — for each z dim, the BATCH axis sweeps that
+      coordinate across [0, 1) from z=0; one GIF per dim whose frames are the
+      batch examples (``mnist/utils.py:219-228``).
+    option 4: option 3's sweep for every dim, plus a merged forward+reverse
+      GIF whose frames are grids of all dims at one sweep position
+      (``mnist/utils.py:229-243``).
     """
     os.makedirs(out_dir, exist_ok=True)
     rs = np.random.RandomState(seed)
@@ -74,6 +80,30 @@ def visualize(
         z = rs.uniform(-1, 1, (batch_size, z_dim)).astype(np.float32)
         samples = np.asarray(sampler(z, y))
         save_images(samples, image_manifold_size(batch_size), os.path.join(out_dir, "test.png"))
+        return
+
+    if option in (3, 4):
+        values = np.arange(0, 1, 1.0 / batch_size, dtype=np.float32)
+        image_set = []
+        for dim in range(z_dim):
+            z = np.zeros((batch_size, z_dim), np.float32)
+            z[:, dim] = values
+            samples = np.asarray(sampler(z, y))
+            image_set.append(samples)
+            make_gif(list(samples), os.path.join(out_dir, f"test_gif_{dim}.gif"))
+        if option == 4:
+            gh, gw = image_manifold_size(z_dim)
+            n_pos = min(64, batch_size)
+            idxs = list(range(n_pos)) + list(range(n_pos - 1, -1, -1))
+            frames = [
+                merge(np.asarray([images[k] for images in image_set]), (gh, gw))
+                for k in idxs
+            ]
+            make_gif(
+                [f[..., None] if f.ndim == 2 else f for f in frames],
+                os.path.join(out_dir, "test_gif_merged.gif"),
+                duration_ms=max(1, 8000 // len(frames)),
+            )
         return
 
     base_z = rs.uniform(-1, 1, (batch_size, z_dim)).astype(np.float32)

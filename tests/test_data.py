@@ -36,16 +36,21 @@ def test_mnist_noise_schedule():
 def test_mnist_noise_schedule_effective_noise():
     """The relative coin composes to EXACTLY the requested effective noise
     level: diag(C(alpha) @ one_coin(rel)) == noise_alpha during warm-up.
-    Pins the two committed ablation regimes (QUALITY.md): alpha=0.3 with
+    Pins the committed alpha=0.3 ablation regime (QUALITY.md) at
     noise_alpha=0.15 (rel 0.3250 -> eff diag 0.15, below the conditioning
-    threshold) and noise_alpha=0.25 (rel 0.7750 -> eff diag 0.25, inside
-    it)."""
+    threshold) plus an inside-threshold case (noise_alpha=0.25, rel 0.7750),
+    and the committed alpha=0.6/noise_alpha=0.3 active-schedule cell
+    (rel ~0.4594)."""
     for noise_alpha, want_rel in [(0.15, 0.3250), (0.25, 0.7750)]:
         rel = mnist_data.noise_schedule_alpha(0, alpha=0.3, noise_alpha=noise_alpha,
                                               noise_start=30, noise_end=80)
         np.testing.assert_allclose(rel, want_rel, atol=1e-4)
         eff = one_coin_matrix(0.3, 10) @ one_coin_matrix(rel, 10)
         np.testing.assert_allclose(np.diag(eff), noise_alpha, atol=1e-6)
+    rel = mnist_data.noise_schedule_alpha(0, alpha=0.6, noise_alpha=0.3,
+                                          noise_start=30, noise_end=80)
+    eff = one_coin_matrix(0.6, 10) @ one_coin_matrix(rel, 10)
+    np.testing.assert_allclose(np.diag(eff), 0.3, atol=1e-6)
 
 
 def test_mnist_renoise_changes_labels():

@@ -201,3 +201,66 @@ def test_projection_kernel_bf16_cotangent_dtypes(monkeypatch):
                    + wgan.astype(jnp.float32))[:4])
     got = loss(feat, emb, wgan)
     np.testing.assert_allclose(float(got), float(ref), rtol=2e-2)
+
+
+# ------------------------------------------------------------- conv3x3
+@pytest.mark.parametrize("b,h,w", [(4, 8, 8), (2, 16, 16), (1, 32, 32)])
+def test_conv3x3_fused_matches_xla_conv(b, h, w):
+    """Forward of the fused 3x3/s1/SAME kernel vs lax.conv_general_dilated
+    on the flagship channel width (C=O=128)."""
+    from rcgan_tpu.ops.pallas.conv_kernel import conv3x3_fused, supported
+
+    rs = np.random.RandomState(0)
+    x = jnp.asarray(rs.randn(b, h, w, 128).astype(np.float32))
+    wgt = jnp.asarray(0.1 * rs.randn(3, 3, 128, 128).astype(np.float32))
+    assert supported(x.shape, wgt.shape)
+    out = conv3x3_fused(x, wgt)
+    ref = jax.lax.conv_general_dilated(
+        x, wgt, (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC")
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-4, atol=1e-4)
+
+
+def test_conv3x3_fused_grads_match_autodiff_oracle():
+    """The custom VJP (two standard XLA convs) vs autodiff of the XLA conv."""
+    from rcgan_tpu.ops.pallas.conv_kernel import conv3x3_fused
+
+    rs = np.random.RandomState(1)
+    x = jnp.asarray(rs.randn(2, 8, 8, 128).astype(np.float32))
+    wgt = jnp.asarray(0.1 * rs.randn(3, 3, 128, 128).astype(np.float32))
+
+    def ref_loss(x, w):
+        out = jax.lax.conv_general_dilated(
+            x, w, (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC")
+        )
+        return jnp.sum(jnp.sin(out))
+
+    def fused_loss(x, w):
+        return jnp.sum(jnp.sin(conv3x3_fused(x, w)))
+
+    g_ref = jax.grad(ref_loss, argnums=(0, 1))(x, wgt)
+    g_fused = jax.grad(fused_loss, argnums=(0, 1))(x, wgt)
+    for a, b_ in zip(g_ref, g_fused):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), rtol=1e-3, atol=1e-4)
+
+
+def test_conv3x3_routing_gates(monkeypatch):
+    """maybe_conv3x3 returns None off-class or when routed off, and the fused
+    result when forced on."""
+    from rcgan_tpu.ops.pallas import conv_kernel
+
+    rs = np.random.RandomState(2)
+    x = jnp.asarray(rs.randn(2, 8, 8, 128).astype(np.float32))
+    wgt = jnp.asarray(0.1 * rs.randn(3, 3, 128, 128).astype(np.float32))
+    monkeypatch.delenv("RCGAN_PALLAS_CONV3X3", raising=False)
+    # default routing is the measured default (currently off)
+    assert conv_kernel._MEASURED_DEFAULT is False
+    assert conv_kernel.maybe_conv3x3(x, wgt, 1, "SAME") is None
+    monkeypatch.setenv("RCGAN_PALLAS_CONV3X3", "1")
+    assert conv_kernel.maybe_conv3x3(x, wgt, 2, "SAME") is None  # stride off-class
+    assert conv_kernel.maybe_conv3x3(x, wgt, 1, "VALID") is None
+    out = conv_kernel.maybe_conv3x3(x, wgt, 1, "SAME")
+    assert out is not None and out.shape == (2, 8, 8, 128)
+    # off-class channels (not a multiple of 128) fall back
+    w_small = jnp.asarray(0.1 * rs.randn(3, 3, 128, 64).astype(np.float32))
+    assert conv_kernel.maybe_conv3x3(x, w_small, 1, "SAME") is None

@@ -344,3 +344,35 @@ def test_mnist_confuse_init_diag_dominant():
     np.testing.assert_allclose(np.diag(c0), r / (r + 9), rtol=1e-5)
     off = c0[~np.eye(10, dtype=bool)]
     np.testing.assert_allclose(off, 1 / (r + 9), rtol=1e-5)
+
+
+def test_scaleless_adam_bf16_moments_matches_f32_direction():
+    """The low-precision-moment Adam (state.py::_scale_by_adam_lowp) stores
+    bf16 moments but computes the same direction as optax f32 Adam to bf16
+    tolerance, and its state leaves really are bf16."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from rcgan_tpu.train.state import scaleless_adam
+
+    params = {"l": {"w": jnp.asarray(np.random.RandomState(0).randn(16, 8), jnp.float32)}}
+    g1 = {"l": {"w": jnp.asarray(np.random.RandomState(1).randn(16, 8), jnp.float32)}}
+    g2 = {"l": {"w": jnp.asarray(np.random.RandomState(2).randn(16, 8), jnp.float32)}}
+
+    ref = scaleless_adam(0.0, 0.9)
+    lowp = scaleless_adam(0.0, 0.9, moment_dtype="bfloat16")
+    s_ref, s_lowp = ref.init(params), lowp.init(params)
+    assert s_lowp.mu["l"]["w"].dtype == jnp.bfloat16
+    assert s_lowp.nu["l"]["w"].dtype == jnp.bfloat16
+
+    for g in (g1, g2):
+        u_ref, s_ref = ref.update(g, s_ref, params)
+        u_lowp, s_lowp = lowp.update(g, s_lowp, params)
+        np.testing.assert_allclose(
+            np.asarray(u_ref["l"]["w"]), np.asarray(u_lowp["l"]["w"]),
+            rtol=0.05, atol=0.05,
+        )
+    # directions are descent-aligned elementwise (sign agreement)
+    agree = (np.sign(np.asarray(u_ref["l"]["w"])) == np.sign(np.asarray(u_lowp["l"]["w"]))).mean()
+    assert agree > 0.95

@@ -72,6 +72,21 @@ def test_visualize_and_gif(tmp_path):
     assert (tmp_path / "x.gif").exists()
 
 
+def test_visualize_options_3_and_4(tmp_path):
+    """Options 3/4 (``mnist/utils.py:219-243``): zero-base batch-axis sweep,
+    one GIF per z dim, and option 4's merged forward+reverse grid GIF."""
+    def sampler(z, y):
+        val = (z.sum(axis=1, keepdims=True) + 1) / 2
+        return np.ones((len(z), 8, 8, 1), np.float32) * val[:, None, None]
+
+    visualize(sampler, z_dim=4, y_dim=10, batch_size=16, out_dir=str(tmp_path), option=3)
+    gifs = sorted(f for f in os.listdir(tmp_path) if f.endswith(".gif"))
+    assert gifs == [f"test_gif_{i}.gif" for i in range(4)]
+
+    visualize(sampler, z_dim=4, y_dim=10, batch_size=16, out_dir=str(tmp_path), option=4)
+    assert (tmp_path / "test_gif_merged.gif").exists()
+
+
 def test_show_all_variables_counts():
     params = {"a": {"w": np.zeros((2, 3))}, "b": {"w": np.zeros((4,))}}
     assert show_all_variables(params) == 10
