@@ -259,6 +259,8 @@ def main(argv=None):
     fixed_labels = jnp.asarray(np.repeat(np.arange(10), 10).astype(np.int32))
 
     def make_samples(n, deterministic=True, seed=0):
+        # dispatch every batch async, drain once at the end: one tunnel
+        # round trip instead of n // 100 (each sync was a full RTT)
         outs, labels = [], []
         for i in range(n // 100):
             z = jax.random.normal(jax.random.fold_in(jax.random.key(seed), i), (100, cfg.z_dim))
@@ -266,9 +268,9 @@ def main(argv=None):
                 lab = fixed_labels
             else:
                 lab = jax.random.randint(jax.random.fold_in(jax.random.key(seed + 1), i), (100,), 0, 10)
-            outs.append(np.asarray(trainer.sample(ts, z, lab)))
+            outs.append(trainer.sample(ts, z, lab))
             labels.append(np.asarray(lab))
-        return np.concatenate(outs), np.concatenate(labels)
+        return np.concatenate([np.asarray(o) for o in outs]), np.concatenate(labels)
 
     from rcgan_tpu.train.failures import (
         PreemptionGuard,

@@ -161,11 +161,14 @@ def cifar_flags() -> FlagParser:
     p.define_boolean("device_data", True,
                      "Keep the full dataset resident in HBM and feed index "
                      "batches (eliminates per-iteration host transfers)")
-    p.define_integer("scan_block", 20,
+    p.define_integer("scan_block", 100,
                      "Fuse up to N train cycles into one lax.scan device "
                      "program (device_data single-device path; blocks end "
                      "exactly on every cadence iteration; metric flushes "
-                     "below iter 500 coalesce to block ends). 0/1 = off")
+                     "below iter 500 coalesce to block ends). 0/1 = off. "
+                     "Default 100 = one dispatch per %%100 log cadence — at "
+                     "high tunnel RTT the old 20 paid 5 round trips per 100 "
+                     "iters (measured 8.4 vs ~26 cycles/s)")
     p.define_integer("ckpt_early_every", 25,
                      "Checkpoint cadence within the first 500 iters (reference saves "
                      "EVERY early iteration — pathological through a remote-device "

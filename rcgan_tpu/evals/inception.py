@@ -52,21 +52,28 @@ def inception_score(
 ) -> Tuple[float, float]:
     """Generate ``n`` samples with ``sample_fn(key, batch)`` and score them.
 
-    ``sample_fn`` returns images shaped for ``logits_fn``; both run jitted on
-    device, with only the [batch, 10] probabilities copied back per step.
+    ``sample_fn`` returns images shaped for ``logits_fn``; generation and
+    classification of ALL ``n // batch`` batches run as ONE ``lax.scan``ned
+    device program with a single host fetch of the [n, classes]
+    probabilities — through a remote-device tunnel the previous
+    one-dispatch-per-batch loop paid ~100 round trips per score (minutes at
+    high RTT; the reference paused minutes per score too,
+    ``inception_score_.py:28``).  Per-batch keys are unchanged
+    (``fold_in(rng, i)``), so scores are identical to the per-batch path.
     """
     rng = jax.random.key(0) if rng is None else rng
+    keys = jax.vmap(lambda i: jax.random.fold_in(rng, i))(np.arange(n // batch))
 
     @jax.jit
-    def step(key):
-        imgs = sample_fn(key, batch)
-        logits = logits_fn(imgs)
-        return jax.nn.softmax(logits, axis=-1)
+    def all_steps(keys):
+        def body(_, key):
+            imgs = sample_fn(key, batch)
+            return None, jax.nn.softmax(logits_fn(imgs), axis=-1)
 
-    preds = []
-    for i in range(n // batch):
-        preds.append(np.asarray(step(jax.random.fold_in(rng, i))))
-    return preds_to_score(np.concatenate(preds, axis=0), splits)
+        _, out = jax.lax.scan(body, None, keys)
+        return out.reshape(-1, out.shape[-1])
+
+    return preds_to_score(np.asarray(all_steps(keys)), splits)
 
 
 def real_data_score(
