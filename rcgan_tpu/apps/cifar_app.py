@@ -122,7 +122,10 @@ def infinite_batches(split, batch_size, n_critic):
 def infinite_index_batches(split, batch_size, n_critic):
     """Index-only variant for device-resident datasets: epoch order matches
     ``CifarSplit.epoch`` (contiguous batches), but only int32 indices cross
-    the host→device boundary."""
+    the host→device boundary.  Yields HOST arrays: the jitted step uploads
+    them; the fused scan path stacks them host-side — yielding device arrays
+    here made every block assembly a device→host fetch (hundreds of tunnel
+    round trips per 100-cycle block at high RTT)."""
     n = (len(split) // batch_size) * batch_size
     pos = 0
     while True:
@@ -132,7 +135,7 @@ def infinite_index_batches(split, batch_size, n_critic):
                 pos = 0
             idx[j] = np.arange(pos, pos + batch_size, dtype=np.int32)
             pos += batch_size
-        yield {"index": jnp.asarray(idx)}
+        yield {"index": idx}
 
 
 def device_dataset_of(split) -> dict:
@@ -160,9 +163,11 @@ def infinite_g_labels(split, batch_size, gen_bs_multiple):
                 _, _, r, b, _ = next(it)
             rs.append(r)
             bs_.append(b)
+        # host arrays (see infinite_index_batches): the step uploads, the
+        # scan path stacks without device round trips
         yield {
-            "random": jnp.asarray(np.concatenate(rs).astype(np.int32)),
-            "biased": jnp.asarray(np.concatenate(bs_).astype(np.int32)),
+            "random": np.concatenate(rs).astype(np.int32),
+            "biased": np.concatenate(bs_).astype(np.int32),
         }
 
 
@@ -270,7 +275,7 @@ def main(argv=None):
                 lab = jax.random.randint(jax.random.fold_in(jax.random.key(seed + 1), i), (100,), 0, 10)
             outs.append(trainer.sample(ts, z, lab))
             labels.append(np.asarray(lab))
-        return np.concatenate([np.asarray(o) for o in outs]), np.concatenate(labels)
+        return np.asarray(jnp.concatenate(outs)), np.concatenate(labels)
 
     from rcgan_tpu.train.failures import (
         PreemptionGuard,
@@ -453,13 +458,16 @@ def main(argv=None):
             fs = fault_injection_step()
             if fs is not None and iteration < fs < iteration + k:
                 k = fs - iteration
-            idxs = np.stack([np.asarray(next(d_iter)["index"]) for _ in range(k)])
+            idxs = np.stack([next(d_iter)["index"] for _ in range(k)])
             gls = [next(g_iter) for _ in range(k)]
-            g_random = np.stack([np.asarray(g["random"]) for g in gls])
-            g_biased = np.stack([np.asarray(g["biased"]) for g in gls])
+            g_random = np.stack([g["random"] for g in gls])
+            g_biased = np.stack([g["biased"] for g in gls])
             rng, sub = jax.random.split(rng)
             ts, ms = trainer.step_scan(ts, idxs, g_random, g_biased, sub)
-            host = {kk: np.asarray(v) for kk, v in ms.items()}  # one fetch/block
+            # ONE stacked device->host fetch per block (a per-metric
+            # np.asarray was one tunnel round trip each)
+            fetched = np.asarray(jnp.stack([ms["d_cost"], ms["g_cost"], ms["lr"]]))
+            host = {"d_cost": fetched[0], "g_cost": fetched[1], "lr": fetched[2]}
             for j in range(k):
                 metrics.plot_at("d_cost", float(host["d_cost"][j]), iteration + j)
                 metrics.plot_at("g_cost", float(host["g_cost"][j]), iteration + j)

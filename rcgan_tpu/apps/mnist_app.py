@@ -197,7 +197,14 @@ def train(flags, trainer: MnistTrainer, ts, data: mnist_data.MnistData, ckpt: Ch
                 idxs = np.arange(b0 * bs, (b0 + k) * bs, dtype=np.int32).reshape(k, bs)
                 rng, sub = jax.random.split(rng)
                 ts, ms = trainer.step_scan(ts, dataset_dev, idxs, sub)
-                host = {kk: np.asarray(v) for kk, v in ms.items()}  # one fetch/block
+                # Batch the device->host fetch per block (per-metric
+                # np.asarray = one tunnel round trip each): all [K]-shaped
+                # scalar series in ONE stacked fetch; the few non-scalar
+                # metrics (per-example probs, confusion) separately.
+                scalars = sorted(kk for kk, v in ms.items() if v.ndim == 1)
+                fetched = np.asarray(jnp.stack([ms[kk] for kk in scalars]))
+                host = dict(zip(scalars, fetched))
+                host.update({kk: np.asarray(v) for kk, v in ms.items() if kk not in host})
                 for j in range(k):
                     idx = b0 + j
                     m_at = {kk: v[j] for kk, v in host.items()}
@@ -240,13 +247,17 @@ def train(flags, trainer: MnistTrainer, ts, data: mnist_data.MnistData, ckpt: Ch
                     sample_and_ckpt(counter, idx)
 
         if (epoch + 1) % 5 == 0:  # gen-label-acc every 5 epochs (model.py:473-491)
-            accs = []
+            # dispatch all 100 sample batches async, concatenate on device,
+            # fetch + classify once: the per-batch sample->fetch->classify
+            # loop paid ~200 tunnel round trips per eval
             sample_y_np = np.asarray(sample_y)
+            samps = []
             for i in range(100):
                 z = np.random.RandomState(1000 + i).uniform(-1, 1, (bs, flags.z_dim)).astype(np.float32)
-                s = np.asarray(trainer.sample(ts, jnp.asarray(z), sample_y))
-                accs.append(generated_label_accuracy(eval_cls, s, np.argmax(sample_y_np, -1)))
-            acc = float(np.mean(accs))
+                samps.append(trainer.sample(ts, jnp.asarray(z), sample_y))
+            s_all = np.asarray(jnp.concatenate(samps))
+            labels_all = np.tile(np.argmax(sample_y_np, -1), 100)
+            acc = float(generated_label_accuracy(eval_cls, s_all, labels_all))
             metrics.plot("gen_label_acc", acc)
             tb.scalar("gen_label_acc", acc, counter)
             log.info("######EPOCH=%d, mean generated label accuracy=%s", epoch, acc)

@@ -89,10 +89,13 @@ class EvalClassifier:
         return self.net(ctx, x)
 
     def predict(self, x: np.ndarray, batch_size: int = 500) -> np.ndarray:
+        # dispatch every batch async, concatenate ON DEVICE, fetch once — a
+        # per-batch np.asarray was one device->host round trip each (slow
+        # through a remote tunnel)
         outs = []
         for i in range(0, len(x), batch_size):
-            outs.append(np.asarray(jnp.argmax(self.logits(self.params, x[i : i + batch_size]), -1)))
-        return np.concatenate(outs)
+            outs.append(jnp.argmax(self.logits(self.params, x[i : i + batch_size]), -1))
+        return np.asarray(outs[0] if len(outs) == 1 else jnp.concatenate(outs))
 
     def train(
         self,
